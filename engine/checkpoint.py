@@ -1,0 +1,84 @@
+"""Per-task checkpoint manifests: lineage (input files → output files) + metrics.
+
+The reference persists inter-stage state as monolithic pickles
+(``codes/utils/generalFunctions.py:109-130``; e.g.
+``codes/search/construct_index.py:540-543`` writes one pickle per process
+group) — resumable only at whole-stage granularity.  Here every maintenance
+pass is split into tasks (file groups / partitions); each task appends one
+JSON record after its outputs are durably staged, so a killed pass resumes by
+skipping completed tasks and reusing their staged outputs (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class TaskRecord:
+    pass_id: str
+    op: str
+    task_id: str                 # partition / file-group identifier
+    input_files: list[str]
+    output_files: list[str]
+    rows: int = 0
+    bytes: int = 0
+    skew_factor: float = 1.0     # task rows / mean task rows of the pass
+    committed: bool = False
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+class CheckpointLog:
+    """Append-only JSONL log for one maintenance pass (idempotent replay)."""
+
+    def __init__(self, table_root: str, pass_id: str, op: str):
+        self.op = op
+        self.pass_id = pass_id
+        self.dir = os.path.join(table_root, "metadata", "checkpoints")
+        os.makedirs(self.dir, exist_ok=True)
+        self.path = os.path.join(self.dir, f"{op}-{pass_id}.jsonl")
+        self._done: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    self._done[rec["task_id"]] = rec
+
+    def is_done(self, task_id: str) -> bool:
+        return task_id in self._done
+
+    def get(self, task_id: str) -> dict | None:
+        return self._done.get(task_id)
+
+    def completed(self) -> list[dict]:
+        return list(self._done.values())
+
+    def record(self, rec: TaskRecord) -> None:
+        doc = {
+            "pass_id": rec.pass_id, "op": rec.op, "task_id": rec.task_id,
+            "input_files": rec.input_files, "output_files": rec.output_files,
+            "rows": rec.rows, "bytes": rec.bytes,
+            "skew_factor": rec.skew_factor, "committed": rec.committed,
+            **({"extra": rec.extra} if rec.extra else {}),
+        }
+        # durability: write the line, fsync, then it is replayable
+        with open(self.path, "a") as f:
+            f.write(json.dumps(doc) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._done[rec.task_id] = doc
+
+    def finalize(self, extra: dict | None = None) -> None:
+        """Mark the whole pass committed (snapshot swap done)."""
+        self.record(TaskRecord(self.pass_id, self.op, "__pass__",
+                               [], [], committed=True, extra=extra or {}))
+
+    def pass_committed(self) -> bool:
+        rec = self._done.get("__pass__")
+        return bool(rec and rec.get("committed"))

@@ -1,0 +1,363 @@
+"""From-scratch Iceberg-style table format: snapshots, manifests, atomic commit.
+
+The reference data lake is a bare directory of CSV files with no catalog, no
+transactions and no statistics (``cesid_datalake_imputation/readme.md:39-46``;
+glob scan ``codes/search/construct_index.py:445-447``).  This module supplies
+what that lacks, from scratch (no Iceberg runtime in the sandbox):
+
+Layout of a table rooted at ``root``::
+
+    root/
+      data/<file>.parquet              immutable data files
+      metadata/
+        v<N>.metadata.json             full metadata at version N (schema,
+                                       snapshot log, current snapshot id)
+        manifest-<uuid>.json           data-file entries + per-file min/max
+                                       column stats (the scan-pruning analog of
+                                       the reference's hand-rolled range filter,
+                                       codes/estimation/row_acquisitor.py:705-712)
+        version-hint.text              current version N  (atomic os.replace)
+
+Snapshot isolation: data files and metadata versions are immutable; a commit
+writes new files + a new ``v<N+1>.metadata.json`` and atomically swaps the
+version hint.  Readers resolve a pinned snapshot id to its manifest list and
+never consult the live directory listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+import pyarrow.parquet as pq
+
+# Columns worth tracking min/max for (pruning keys). Strings kept short by
+# truncating bounds like Iceberg does (lower bound truncate, upper bound
+# truncate + increment last char).
+_MAX_BOUND_LEN = 64
+
+
+def _truncate_lower(v: str) -> str:
+    return v[:_MAX_BOUND_LEN]
+
+
+def _truncate_upper(v: str) -> str:
+    if len(v) <= _MAX_BOUND_LEN:
+        return v
+    head = v[:_MAX_BOUND_LEN]
+    # bump last char so the truncated value still upper-bounds the original
+    return head[:-1] + chr(ord(head[-1]) + 1)
+
+
+def _jsonable(v: Any) -> Any:
+    """Make a parquet stat value JSON-serializable, order-preserving."""
+    if v is None or isinstance(v, (int, float, bool, str)):
+        return v
+    return str(v)
+
+
+@dataclass
+class DataFile:
+    path: str                      # relative to table root
+    record_count: int
+    file_size_bytes: int
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # stats[col] = {"min": ..., "max": ..., "null_count": int}
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "record_count": self.record_count,
+            "file_size_bytes": self.file_size_bytes,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(d["path"], d["record_count"], d["file_size_bytes"],
+                        d.get("stats", {}))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str                 # append / merge / compact / cluster / ...
+    manifests: list[str]           # manifest file names (metadata/ relative)
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "manifests": self.manifests,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(d["snapshot_id"], d.get("parent_id"),
+                        d["timestamp_ms"], d["operation"], d["manifests"],
+                        d.get("summary", {}))
+
+
+def collect_parquet_stats(abs_path: str) -> tuple[int, int, dict]:
+    """Per-file record count, byte size and min/max/null_count per column,
+    read from the Parquet footer (cheap: no data pages touched).
+
+    This is the engine's analog of the reference computing a column's min/max
+    once and range-filtering rows against it
+    (``codes/estimation/row_acquisitor.py:705-712``) — promoted from a
+    hand-rolled row filter to *file-level* metadata so the scan can skip whole
+    files before Spark ever reads them.
+    """
+    f = pq.ParquetFile(abs_path)
+    md = f.metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = names[ci]
+            st = col.statistics
+            if st is None:
+                continue
+            if st.has_min_max:
+                mn, mx = _jsonable(st.min), _jsonable(st.max)
+                if name not in mins or (mn is not None and mn < mins[name]):
+                    mins[name] = mn
+                if name not in maxs or (mx is not None and mx > maxs[name]):
+                    maxs[name] = mx
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    stats = {}
+    for name in names:
+        entry: dict[str, Any] = {}
+        if name in mins:
+            mn, mx = mins[name], maxs[name]
+            if isinstance(mn, str):
+                mn, mx = _truncate_lower(mn), _truncate_upper(mx)
+            entry["min"], entry["max"] = mn, mx
+        if name in nulls:
+            entry["null_count"] = nulls[name]
+        if entry:
+            stats[name] = entry
+    return md.num_rows, os.path.getsize(abs_path), stats
+
+
+class Table:
+    """Handle to one table; all state lives on disk (no in-memory catalog)."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        self.data_dir = os.path.join(self.root, "data")
+        self.meta_dir = os.path.join(self.root, "metadata")
+
+    # ------------------------------------------------------------------ setup
+    @staticmethod
+    def create(root: str, schema_json: list[dict] | None = None) -> "Table":
+        t = Table(root)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        meta = {
+            "table_uuid": str(uuid.uuid4()),
+            "format_version": 1,
+            "schema": schema_json or [],
+            "current_snapshot_id": None,
+            "snapshots": [],
+            "version": 0,
+        }
+        t._write_version(0, meta)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, "metadata", "version-hint.text"))
+
+    # ------------------------------------------------------------- metadata io
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def current_version(self) -> int:
+        with open(self._hint_path()) as f:
+            return int(f.read().strip())
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.metadata.json")
+
+    def load_metadata(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version()
+        with open(self._meta_path(version)) as f:
+            return json.load(f)
+
+    def _write_version(self, version: int, meta: dict) -> None:
+        """Write v<N>.metadata.json then atomically swap the version hint.
+
+        The reference has no atomic commit (plain pickle/CSV writes,
+        ``generalFunctions.py:109-130``); this is the snapshot-isolation piece
+        the north rule adds.  os.replace is atomic on POSIX."""
+        path = self._meta_path(version)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, path)
+        hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(hint_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(hint_tmp, self._hint_path())
+
+    # -------------------------------------------------------------- snapshots
+    def snapshots(self) -> list[Snapshot]:
+        meta = self.load_metadata()
+        return [Snapshot.from_json(s) for s in meta["snapshots"]]
+
+    def current_snapshot(self) -> Snapshot | None:
+        meta = self.load_metadata()
+        sid = meta["current_snapshot_id"]
+        if sid is None:
+            return None
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return Snapshot.from_json(s)
+        raise ValueError(f"current snapshot {sid} missing from snapshot log")
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        for s in self.snapshots():
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
+
+    def manifest_entries(self, snapshot: Snapshot | None = None) -> list[DataFile]:
+        """All data files referenced by a snapshot (its manifest list)."""
+        if snapshot is None:
+            snapshot = self.current_snapshot()
+        if snapshot is None:
+            return []
+        out: list[DataFile] = []
+        for mf in snapshot.manifests:
+            with open(os.path.join(self.meta_dir, mf)) as f:
+                m = json.load(f)
+            out.extend(DataFile.from_json(e) for e in m["entries"])
+        return out
+
+    def data_file_abspaths(self, snapshot: Snapshot | None = None) -> list[str]:
+        return [os.path.join(self.root, e.path)
+                for e in self.manifest_entries(snapshot)]
+
+    # ---------------------------------------------------------------- writing
+    def write_manifest(self, entries: Iterable[DataFile]) -> str:
+        name = f"manifest-{uuid.uuid4().hex}.json"
+        entries = list(entries)
+        doc = {
+            "entries": [e.to_json() for e in entries],
+            "record_count": sum(e.record_count for e in entries),
+            "file_size_bytes": sum(e.file_size_bytes for e in entries),
+        }
+        tmp = os.path.join(self.meta_dir, name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, os.path.join(self.meta_dir, name))
+        return name
+
+    def register_staged_files(self, staged_paths: list[str]) -> list[DataFile]:
+        """Move already-written parquet files into data/ and stat them."""
+        out = []
+        for p in staged_paths:
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.data_dir, name)
+            # same filesystem in this sandbox; rename is atomic & cheap
+            try:
+                os.rename(p, dst)
+            except OSError:
+                shutil.move(p, dst)
+            rows, size, stats = collect_parquet_stats(dst)
+            out.append(DataFile(os.path.join("data", name), rows, size, stats))
+        return out
+
+    def commit(self, operation: str, added: list[DataFile],
+               removed_paths: set[str] | None = None,
+               summary: dict | None = None,
+               carry_manifests: bool = True) -> Snapshot:
+        """Create a new snapshot = (parent's files − removed) ∪ added.
+
+        Manifests are immutable; unchanged manifests are carried over wholesale
+        and only manifests touching removed files are rewritten (this is what
+        makes ``rewrite_manifests`` a real maintenance op rather than a no-op).
+        """
+        removed_paths = removed_paths or set()
+        meta = self.load_metadata()
+        parent = self.current_snapshot()
+        manifests: list[str] = []
+        if parent is not None:
+            for mf in parent.manifests:
+                with open(os.path.join(self.meta_dir, mf)) as f:
+                    m = json.load(f)
+                paths = {e["path"] for e in m["entries"]}
+                if carry_manifests and not (paths & removed_paths):
+                    manifests.append(mf)     # untouched: carry over
+                else:
+                    kept = [DataFile.from_json(e) for e in m["entries"]
+                            if e["path"] not in removed_paths]
+                    if kept:
+                        manifests.append(self.write_manifest(kept))
+        if added:
+            manifests.append(self.write_manifest(added))
+
+        sid = (parent.snapshot_id + 1) if parent else 1
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_id=parent.snapshot_id if parent else None,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            manifests=manifests,
+            summary={
+                "added_files": len(added),
+                "removed_files": len(removed_paths),
+                "added_rows": sum(e.record_count for e in added),
+                **(summary or {}),
+            },
+        )
+        meta["snapshots"].append(snap.to_json())
+        meta["current_snapshot_id"] = sid
+        meta["version"] = meta["version"] + 1
+        self._write_version(meta["version"], meta)
+        return snap
+
+    # -------------------------------------------------------------- expiry
+    def expire_snapshots(self, keep_last: int = 1,
+                         older_than_ms: int | None = None) -> list[int]:
+        """Drop old snapshots from the log (data/manifest GC is the orphan
+        sweep's job, engine.maintain.sweep_orphans)."""
+        meta = self.load_metadata()
+        snaps = meta["snapshots"]
+        if not snaps:
+            return []
+        keep_last = max(1, keep_last)
+        cutoff_idx = max(0, len(snaps) - keep_last)
+        expired, kept = [], []
+        for i, s in enumerate(snaps):
+            is_current = s["snapshot_id"] == meta["current_snapshot_id"]
+            old_enough = (older_than_ms is None
+                          or s["timestamp_ms"] < older_than_ms)
+            if i < cutoff_idx and old_enough and not is_current:
+                expired.append(s["snapshot_id"])
+            else:
+                kept.append(s)
+        if not expired:
+            return []
+        meta["snapshots"] = kept
+        meta["version"] = meta["version"] + 1
+        self._write_version(meta["version"], meta)
+        return expired

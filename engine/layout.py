@@ -1,0 +1,118 @@
+"""Physical layout: Z-order / Hilbert 64-bit key interleave (vectorized).
+
+The reference has no clustering at all (tables are whatever order the CSV came
+in); locality there is faked by scanning everything. Our engine clusters data
+files on ``(xxhash64(conv_id) high bits, quantized unix_micros(ts))`` so both
+conv-targeted and time-range scans prune well from per-file min/max stats.
+
+Per the UDF discipline (SURVEY.md §2.8): the interleave is a single
+``pandas_udf`` over numpy uint64 arrays — Arrow-batched, zero per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+_BITS = 31  # 31 bits per dimension → 62-bit key, fits signed int64
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Interleave-ready bit spreading (Morton): 32→64-bit magic masks."""
+    v = v.astype(np.uint64) & np.uint64((1 << _BITS) - 1)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def morton_interleave(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    return (_spread_bits(x) | (_spread_bits(y) << np.uint64(1))).astype(np.int64)
+
+
+def hilbert_xy2d(x: np.ndarray, y: np.ndarray, order: int = _BITS) -> np.ndarray:
+    """Vectorized Hilbert curve (x,y) → d, ``order`` bits per dimension.
+
+    Classic xy2d with the rotate step expressed as numpy boolean masks; the
+    loop runs ``order`` times regardless of row count (fully vectorized).
+    Locality-verified by the golden 2×2/4×4 tests (tests/test_layout.py).
+    """
+    x = x.astype(np.uint64) & np.uint64((1 << order) - 1)
+    y = y.astype(np.uint64) & np.uint64((1 << order) - 1)
+    rx = np.zeros_like(x)
+    ry = np.zeros_like(y)
+    d = np.zeros_like(x)
+    s = np.uint64(1) << np.uint64(order - 1)
+    one = np.uint64(1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = x.copy()
+        x = np.where(flip, s - one - x, x)
+        y = np.where(flip, s - one - y, y)
+        x2 = np.where(swap, y, x)
+        y2 = np.where(swap, np.where(flip, s - one - x_f, x_f), y)
+        x, y = x2, y2
+        s >>= one
+    return d.astype(np.int64)
+
+
+@pandas_udf(LongType())
+def _zorder_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(morton_interleave(x.to_numpy(np.uint64),
+                                       y.to_numpy(np.uint64)))
+
+
+@pandas_udf(LongType())
+def _hilbert_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(hilbert_xy2d(x.to_numpy(np.uint64),
+                                  y.to_numpy(np.uint64)))
+
+
+def _dims(ts_col: str = "ts", conv_col: str = "conv_id") -> tuple[Column, Column]:
+    """Two 31-bit dimensions: conversation-hash and quantized time.
+
+    - x: top 31 bits of xxhash64(conv_id) (uniform)
+    - y: seconds since 2020 quantized to 16 s buckets, capped at 31 bits
+      (covers ~1000 years — plenty)
+    """
+    x = F.shiftrightunsigned(F.xxhash64(F.col(conv_col)), 33)
+    secs = F.unix_timestamp(F.col(ts_col)) - F.lit(1577836800)
+    y = F.shiftrightunsigned(F.greatest(secs, F.lit(0)).cast("long"), 4)
+    return x, y
+
+
+def zorder_key(ts_col: str = "ts", conv_col: str = "conv_id") -> Column:
+    x, y = _dims(ts_col, conv_col)
+    return _zorder_udf(x, y)
+
+
+def hilbert_key(ts_col: str = "ts", conv_col: str = "conv_id") -> Column:
+    x, y = _dims(ts_col, conv_col)
+    return _hilbert_udf(x, y)
+
+
+def cluster_dataframe(df: DataFrame, strategy: str = "zorder",
+                      num_files: int | None = None,
+                      ts_col: str = "ts", conv_col: str = "conv_id") -> DataFrame:
+    """Attach the space-filling-curve key, range-partition on it (each output
+    file owns a contiguous curve segment → tight min/max on BOTH dimensions),
+    sort within partitions, drop the key."""
+    key = zorder_key(ts_col, conv_col) if strategy == "zorder" \
+        else hilbert_key(ts_col, conv_col)
+    out = df.withColumn("__ckey", key)
+    if num_files:
+        out = out.repartitionByRange(num_files, "__ckey")
+    else:
+        out = out.repartitionByRange("__ckey")
+    return out.sortWithinPartitions("__ckey").drop("__ckey")

@@ -1,0 +1,266 @@
+"""Table maintenance: bin-packing compaction, clustering, manifest rewrite,
+snapshot expiry, orphan-file sweep. All copy-on-write, all checkpointed.
+
+None of this exists in the reference (its lake is an unmanaged CSV directory,
+``cesid_datalake_imputation/readme.md:39-46``); these are the operations the
+north rule adds so the same lake works at 10^12 turns.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointLog, TaskRecord
+from .format import DataFile, Snapshot, Table, collect_parquet_stats
+from .layout import cluster_dataframe
+from .write import stage_dataframe
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # real-cluster default; tests pass small
+
+
+# ----------------------------------------------------------------- compaction
+def plan_compaction(entries: list[DataFile],
+                    target_bytes: int = DEFAULT_TARGET_BYTES,
+                    min_group: int = 2) -> list[list[DataFile]]:
+    """Greedy first-fit-decreasing bin packing of undersized files into
+    ~target_bytes groups. Pure driver-side planning over O(files) manifest
+    metadata — no data read. Files already ≥ target/2 are left alone.
+
+    Sorting by min conv_id first keeps each output file's key range tight so
+    compaction never *degrades* scan pruning."""
+    small = [e for e in entries if e.file_size_bytes < target_bytes // 2]
+    small.sort(key=lambda e: (str(e.stats.get("conv_id", {}).get("min", "")),
+                              e.path))
+    groups: list[list[DataFile]] = []
+    cur: list[DataFile] = []
+    cur_bytes = 0
+    for e in small:
+        if cur and cur_bytes + e.file_size_bytes > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(e)
+        cur_bytes += e.file_size_bytes
+    if cur:
+        groups.append(cur)
+    return [g for g in groups if len(g) >= min_group]
+
+
+def compact(spark: SparkSession, table: Table,
+            target_bytes: int = DEFAULT_TARGET_BYTES,
+            pass_id: str | None = None,
+            max_concurrency: int = 8) -> Snapshot | None:
+    """Rewrite each planned group into one file. Groups run as concurrent
+    Spark jobs (the scheduler interleaves their tasks, keeping all cores busy
+    even when individual groups are small); each group checkpoints its
+    lineage+metrics the moment its output is durably staged, so a killed pass
+    resumes mid-plan without re-reading finished groups."""
+    pass_id = pass_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointLog(table.root, pass_id, "compact")
+    if ckpt.pass_committed():
+        return table.current_snapshot()
+    entries = table.manifest_entries()
+    groups = plan_compaction(entries, target_bytes)
+    if not groups:
+        return None
+    total_rows = sum(e.record_count for g in groups for e in g)
+    mean_rows = total_rows / max(1, len(groups))
+
+    def run_group(i_group):
+        i, group = i_group
+        task_id = f"group-{i:05d}"
+        if ckpt.is_done(task_id):
+            rec = ckpt.get(task_id)
+            return (task_id, rec["input_files"],
+                    [_restat(table, p) for p in rec["output_files"]])
+        paths = [os.path.join(table.root, e.path) for e in group]
+        df = (spark.read.parquet(*paths)
+              .sortWithinPartitions("conv_id", "turn_idx").coalesce(1))
+        staged = stage_dataframe(table, df)
+        rows = sum(e.record_count for e in staged)
+        ckpt.record(TaskRecord(
+            pass_id, "compact", task_id,
+            input_files=[e.path for e in group],
+            output_files=[e.path for e in staged],
+            rows=rows, bytes=sum(e.file_size_bytes for e in staged),
+            skew_factor=round(rows / max(1.0, mean_rows), 3)))
+        return (task_id, [e.path for e in group], staged)
+
+    with ThreadPoolExecutor(max_workers=max_concurrency) as ex:
+        results = list(ex.map(run_group, enumerate(groups)))
+
+    removed = {p for _, ins, _ in results for p in ins}
+    added = [e for _, _, outs in results for e in outs]
+    snap = table.commit("compact", added=added, removed_paths=removed,
+                        summary={"pass_id": pass_id,
+                                 "groups": len(groups)})
+    ckpt.finalize({"snapshot_id": snap.snapshot_id})
+    return snap
+
+
+def _restat(table: Table, rel_path: str) -> DataFile:
+    rows, size, stats = collect_parquet_stats(os.path.join(table.root, rel_path))
+    return DataFile(rel_path, rows, size, stats)
+
+
+# ----------------------------------------------------------------- clustering
+def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
+            target_bytes: int = DEFAULT_TARGET_BYTES,
+            pass_id: str | None = None) -> Snapshot:
+    """Full-table rewrite ordered by the space-filling curve
+    (engine.layout): repartitionByRange on the curve key gives every output
+    file a contiguous curve segment → tight min/max on BOTH hash(conv_id) and
+    ts. One shuffle (the range exchange); the curve key itself is computed in
+    a single Arrow-vectorized pandas UDF."""
+    assert strategy in ("zorder", "hilbert")
+    pass_id = pass_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointLog(table.root, pass_id, f"cluster-{strategy}")
+    if ckpt.pass_committed():
+        return table.current_snapshot()
+    entries = table.manifest_entries()
+    in_paths = [e.path for e in entries]
+    total_bytes = sum(e.file_size_bytes for e in entries)
+    num_files = max(1, round(total_bytes / target_bytes))
+
+    rec = ckpt.get("rewrite")
+    if rec is not None:
+        staged = [_restat(table, p) for p in rec["output_files"]]
+    else:
+        df = spark.read.parquet(
+            *[os.path.join(table.root, p) for p in in_paths])
+        out = cluster_dataframe(df, strategy=strategy, num_files=num_files)
+        staged = stage_dataframe(table, out)
+        rows = sum(e.record_count for e in staged)
+        mean_rows = rows / max(1, len(staged))
+        ckpt.record(TaskRecord(
+            pass_id, f"cluster-{strategy}", "rewrite",
+            input_files=in_paths, output_files=[e.path for e in staged],
+            rows=rows, bytes=sum(e.file_size_bytes for e in staged),
+            skew_factor=round(max((e.record_count for e in staged), default=0)
+                              / max(1.0, mean_rows), 3)))
+    snap = table.commit(f"cluster-{strategy}", added=staged,
+                        removed_paths=set(in_paths),
+                        summary={"pass_id": pass_id, "files": len(staged)})
+    ckpt.finalize({"snapshot_id": snap.snapshot_id})
+    return snap
+
+
+# ------------------------------------------------------------ manifest rewrite
+def rewrite_manifests(table: Table, entries_per_manifest: int = 64) -> Snapshot:
+    """Regroup manifest entries by min conv_id into fixed-size manifests.
+    After many merge/append commits, manifests fragment (one tiny manifest per
+    commit) and planning cost creeps from O(files) toward O(commits·files);
+    this rebalances the metadata tree — data files untouched."""
+    entries = table.manifest_entries()
+    entries.sort(key=lambda e: (str(e.stats.get("conv_id", {}).get("min", "")),
+                                e.path))
+    meta = table.load_metadata()
+    manifests = []
+    for i in range(0, len(entries), entries_per_manifest):
+        manifests.append(
+            table.write_manifest(entries[i:i + entries_per_manifest]))
+    parent = table.current_snapshot()
+    snap = Snapshot(
+        snapshot_id=parent.snapshot_id + 1,
+        parent_id=parent.snapshot_id,
+        timestamp_ms=int(time.time() * 1000),
+        operation="rewrite-manifests",
+        manifests=manifests,
+        summary={"manifests": len(manifests), "files": len(entries)},
+    )
+    meta["snapshots"].append(snap.to_json())
+    meta["current_snapshot_id"] = snap.snapshot_id
+    meta["version"] += 1
+    table._write_version(meta["version"], meta)
+    return snap
+
+
+# ------------------------------------------------- snapshot expiry + orphans
+def expire_snapshots(table: Table, keep_last: int = 2,
+                     older_than_ms: int | None = None) -> list[int]:
+    return table.expire_snapshots(keep_last=keep_last,
+                                  older_than_ms=older_than_ms)
+
+
+def sweep_orphans(spark: SparkSession, table: Table,
+                  grace_seconds: float = 3600.0,
+                  dry_run: bool = False) -> list[str]:
+    """Delete data files referenced by NO retained snapshot.
+
+    The referenced set spans ALL retained snapshots (not just HEAD — old
+    snapshots must stay readable), plus outputs recorded by not-yet-committed
+    checkpoint passes (staged work a resume will adopt). The set difference is
+    a left-anti join (reference analog: the `isin`-complement bucketing,
+    ``codes/evaluate/total_evaluate.py:164``) — run in Spark because at
+    10^12-turn scale the file listing itself is billions of rows."""
+    referenced: set[str] = set()
+    for snap in table.snapshots():
+        for e in table.manifest_entries(snap):
+            referenced.add(e.path)
+    ckpt_dir = os.path.join(table.meta_dir, "checkpoints")
+    if os.path.isdir(ckpt_dir):
+        import json
+        for fn in os.listdir(ckpt_dir):
+            with open(os.path.join(ckpt_dir, fn)) as f:
+                recs = [json.loads(line) for line in f if line.strip()]
+            committed = any(r["task_id"] == "__pass__" and r["committed"]
+                            for r in recs)
+            if not committed:
+                for r in recs:
+                    referenced.update(r.get("output_files", []))
+
+    now = time.time()
+    listed = []
+    for fn in os.listdir(table.data_dir):
+        rel = os.path.join("data", fn)
+        full = os.path.join(table.data_dir, fn)
+        if now - os.path.getmtime(full) >= grace_seconds:
+            listed.append((rel,))
+    if not listed:
+        return []
+    listed_df = spark.createDataFrame(listed, ["path"])
+    ref_df = spark.createDataFrame([(p,) for p in referenced] or [("",)],
+                                   ["path"])
+    orphans = [r["path"] for r in
+               listed_df.join(ref_df, "path", "left_anti").collect()]
+    if not dry_run:
+        for rel in orphans:
+            os.remove(os.path.join(table.root, rel))
+    return sorted(orphans)
+
+
+# ------------------------------------------------------------------- pipeline
+def run_maintenance(spark: SparkSession, table: Table,
+                    target_bytes: int = DEFAULT_TARGET_BYTES,
+                    strategy: str = "zorder",
+                    keep_last: int = 2,
+                    grace_seconds: float = 0.0,
+                    pass_id: str | None = None) -> dict:
+    """The full pass benchmarked in bench.py: impute-MERGE → compact →
+    cluster → rewrite manifests → expire snapshots → orphan sweep."""
+    from .merge import impute_merge
+    pass_id = pass_id or uuid.uuid4().hex[:8]
+    out: dict = {"pass_id": pass_id}
+    t0 = time.time()
+    impute_merge(spark, table, pass_id=f"{pass_id}-merge")
+    out["merge_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    compact(spark, table, target_bytes, pass_id=f"{pass_id}-compact")
+    out["compact_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    cluster(spark, table, strategy, target_bytes,
+            pass_id=f"{pass_id}-cluster")
+    out["cluster_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    rewrite_manifests(table)
+    out["rewrite_manifests_s"] = round(time.time() - t0, 3)
+    expired = expire_snapshots(table, keep_last=keep_last)
+    orphans = sweep_orphans(spark, table, grace_seconds=grace_seconds)
+    out["expired_snapshots"] = len(expired)
+    out["orphans_removed"] = len(orphans)
+    return out

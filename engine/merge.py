@@ -1,0 +1,236 @@
+"""Copy-on-write MERGE INTO + the impute stage (CESID online pipeline, recast).
+
+Reference online pipeline per missing cell: index probe → candidate tables →
+top-k similar tuples → score aggregation → best value
+(``codes/search/retrieve_relevant_tables.py:267-527``,
+``codes/search/retrieve_relevant_values.py:104-231``,
+``codes/utils/match_row.py:98-126``), then the estimation fallback
+(``codes/estimation/estimator.py:139-240``). The per-cell Python loop becomes
+ONE dataflow: worklist ⟕ broadcast(candidate index) → deterministic top-1 →
+coalesce(index value, estimation value) — the "search vs estimate" classifier
+(``codes/classification/classifier.py:63-105``) collapses into that coalesce,
+exactly the higher-confidence-source rule it learns (technique_report Table 8).
+
+The MERGE itself is copy-on-write under snapshot isolation: only data files
+whose stats intersect the source's key domain are rewritten; everything else
+is carried over by manifest reference. Resumable via checkpoint manifests.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointLog, TaskRecord
+from .format import DataFile, Snapshot, Table, collect_parquet_stats
+from .index import (_with_context, build_candidate_index, fallback_stats,
+                    role_key_col, text_key_col, tool_key_col)
+from .scan import Predicate, prune_files, scan
+from .write import stage_dataframe
+
+MERGE_KEYS = ("conv_id", "turn_idx")
+_MAX_IN_SET = 100_000  # above this, fall back to min/max range pruning
+
+
+# --------------------------------------------------------------------- impute
+def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
+                        fallbacks: DataFrame) -> DataFrame:
+    """Worklist = rows with a missing role/tool/text cell (the analog of
+    ``missing_tab_row_col.csv``); output = updates keyed (conv_id, turn_idx)
+    with ``upd_*`` values and ``src_*`` provenance tags
+    ('index' | 'estimate' — the scenario buckets of
+    ``codes/evaluate/total_evaluate.py:159-174``).
+
+    All joins broadcast the small side; the only wide shuffle is the context
+    window over conv_id, shared with the index build."""
+    ctx = _with_context(df).withColumn(
+        "prev_text", F.lag("text").over(
+            Window.partitionBy("conv_id").orderBy("turn_idx"))
+    ).withColumn(
+        "next_text", F.lead("text").over(
+            Window.partitionBy("conv_id").orderBy("turn_idx")))
+
+    work = ctx.filter(F.col("role").isNull() | F.col("text").isNull()
+                      | (F.col("tool").isNull()
+                         & (F.col("role") == "tool")))
+    work = work.withColumn("turn_mod", F.pmod(F.col("turn_idx"), F.lit(12)))
+
+    def idx_for(colname: str) -> DataFrame:
+        return (cand_idx.filter((F.col("column_name") == colname)
+                                & (F.col("rank") == 1))
+                .select(F.col("key"),
+                        F.col("candidate").alias(f"cand_{colname}")))
+
+    work = (work
+            .withColumn("role_key", role_key_col())
+            .withColumn("tool_key", tool_key_col())
+            .withColumn("text_key", text_key_col()))
+    work = (work
+            .join(F.broadcast(idx_for("role")),
+                  work["role_key"] == F.col("key"), "left").drop("key")
+            .join(F.broadcast(idx_for("tool")),
+                  work["tool_key"] == F.col("key"), "left").drop("key")
+            .join(F.broadcast(idx_for("text")),
+                  work["text_key"] == F.col("key"), "left").drop("key")
+            .join(F.broadcast(fallbacks), "turn_mod", "left"))
+
+    est_role = F.coalesce(F.col("role_mode"), F.lit("assistant"))
+    # a turn needs a tool value only if its (possibly imputed) role is 'tool'
+    eff_role = F.coalesce(F.col("role"), F.col("cand_role"), est_role)
+    est_tool = F.coalesce(F.col("tool_mode"), F.lit("search"))
+    # nearest-turn copy is the text estimation fallback (FIXTURES.md §6)
+    est_text = F.coalesce(F.col("prev_text"), F.col("next_text"),
+                          F.lit("[unrecoverable]"))
+
+    upd = work.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("role").isNull(),
+               F.coalesce(F.col("cand_role"), est_role)).alias("upd_role"),
+        F.when(F.col("role").isNull(),
+               F.when(F.col("cand_role").isNotNull(), F.lit("index"))
+               .otherwise(F.lit("estimate"))).alias("src_role"),
+        F.when(F.col("tool").isNull() & (eff_role == "tool"),
+               F.coalesce(F.col("cand_tool"), est_tool)).alias("upd_tool"),
+        F.when(F.col("tool").isNull() & (eff_role == "tool"),
+               F.when(F.col("cand_tool").isNotNull(), F.lit("index"))
+               .otherwise(F.lit("estimate"))).alias("src_tool"),
+        F.when(F.col("text").isNull(),
+               F.coalesce(F.col("cand_text"), est_text)).alias("upd_text"),
+        F.when(F.col("text").isNull(),
+               F.when(F.col("cand_text").isNotNull(), F.lit("index"))
+               .otherwise(F.lit("estimate"))).alias("src_text"),
+    )
+    return upd
+
+
+# ---------------------------------------------------------------- merge into
+def _source_predicates(source: DataFrame) -> list[Predicate]:
+    """File-pruning predicates from the source's conv_id domain: an IN-set
+    when the domain is small (collected on the driver, O(distinct keys)),
+    else a min/max range. At 10^12 turns the IN-set path still holds for
+    targeted merges (one batch of late conversations), and the range path
+    bounds the worst case."""
+    keys = [r[0] for r in
+            source.select("conv_id").distinct().limit(_MAX_IN_SET + 1)
+            .collect()]
+    if len(keys) <= _MAX_IN_SET:
+        return [Predicate("conv_id", "in", sorted(keys))]
+    agg = source.agg(F.min("conv_id"), F.max("conv_id")).collect()[0]
+    return [Predicate("conv_id", "ge", agg[0]),
+            Predicate("conv_id", "le", agg[1])]
+
+
+def merge_into(spark: SparkSession, table: Table, source: DataFrame,
+               update_map: dict[str, str],
+               pass_id: str | None = None,
+               broadcast_source: bool = True,
+               num_files: int | None = None) -> Snapshot:
+    """MERGE INTO table USING source ON (conv_id, turn_idx)
+    WHEN MATCHED THEN UPDATE SET col = coalesce(source.upd_col, col).
+
+    ``update_map`` maps target column → source column (null source cell means
+    "leave unchanged", giving cell-grain updates like the reference's
+    ground-truth lookup join, ``codes/estimation/row_acquisitor.py:1087-1089``).
+
+    Copy-on-write: prune target files by source key domain, rewrite only
+    those, carry the rest. Checkpointed: if the process dies after staging
+    but before the snapshot swap, a rerun with the same ``pass_id`` reuses the
+    staged files and just commits (byte-identical table state).
+    """
+    pass_id = pass_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointLog(table.root, pass_id, "merge")
+    if ckpt.pass_committed():
+        return table.current_snapshot()
+
+    snap = table.current_snapshot()
+    entries = table.manifest_entries(snap)
+    affected = prune_files(entries, _source_predicates(source))
+    affected_paths = [e.path for e in affected]
+
+    rec = ckpt.get("rewrite")
+    if rec is not None:
+        staged = []
+        for p in rec["output_files"]:
+            rows, size, stats = collect_parquet_stats(
+                os.path.join(table.root, p))
+            staged.append(DataFile(p, rows, size, stats))
+        affected_paths = rec["input_files"]
+    elif not affected:
+        staged = []
+    else:
+        tgt = spark.read.parquet(
+            *[os.path.join(table.root, p) for p in affected_paths])
+        src = F.broadcast(source) if broadcast_source else source
+        joined = tgt.join(src.withColumn("__matched", F.lit(True)),
+                          on=list(MERGE_KEYS), how="left")
+        out_cols = []
+        for c in tgt.columns:
+            if c in update_map:
+                u = F.col(update_map[c])
+                out_cols.append(
+                    F.when(F.col("__matched").isNotNull() & u.isNotNull(), u)
+                    .otherwise(F.col(c)).alias(c))
+            else:
+                out_cols.append(F.col(c))
+        out = joined.select(*out_cols)
+        nf = num_files or max(1, len(affected))
+        staged = stage_dataframe(table, out, num_files=nf,
+                                 range_cols=list(MERGE_KEYS),
+                                 sort_cols=list(MERGE_KEYS))
+        rows = sum(e.record_count for e in staged)
+        mean_rows = rows / max(1, len(staged))
+        skew = (max((e.record_count for e in staged), default=0)
+                / max(1.0, mean_rows))
+        ckpt.record(TaskRecord(
+            pass_id, "merge", "rewrite",
+            input_files=affected_paths,
+            output_files=[e.path for e in staged],
+            rows=rows, bytes=sum(e.file_size_bytes for e in staged),
+            skew_factor=round(skew, 3), committed=False))
+
+    new_snap = table.commit("merge", added=staged,
+                            removed_paths=set(affected_paths),
+                            summary={"pass_id": pass_id})
+    ckpt.finalize({"snapshot_id": new_snap.snapshot_id})
+    return new_snap
+
+
+def impute_merge(spark: SparkSession, table: Table,
+                 pass_id: str | None = None,
+                 cand_idx: DataFrame | None = None) -> Snapshot:
+    """The flagship maintenance stage: scan → candidate index → planned
+    updates → copy-on-write MERGE. One wide shuffle (conv windows), one
+    broadcast join per imputed column, one CoW rewrite."""
+    df = scan(spark, table)
+    if cand_idx is None:
+        cand_idx = build_candidate_index(df)
+    fb = fallback_stats(df)
+    updates = plan_impute_updates(df, cand_idx, fb)
+    update_map = {"role": "upd_role", "tool": "upd_tool", "text": "upd_text"}
+    src = updates.select("conv_id", "turn_idx",
+                         "upd_role", "upd_tool", "upd_text")
+    return merge_into(spark, table, src, update_map, pass_id=pass_id)
+
+
+def evaluate_impute(imputed: DataFrame, worklist: DataFrame,
+                    updates: DataFrame | None = None) -> dict:
+    """Exact-match accuracy per column (reference protocol:
+    ``codes/evaluate/total_evaluate.py:94`` categorical exact match), plus
+    scenario buckets when provenance is available."""
+    melted = imputed.select(
+        "conv_id", "turn_idx",
+        F.explode(F.map_from_arrays(
+            F.array(F.lit("role"), F.lit("tool"), F.lit("text")),
+            F.array(F.col("role"), F.col("tool"), F.col("text")),
+        )).alias("column_name", "val"))
+    j = worklist.join(melted, ["conv_id", "turn_idx", "column_name"], "left")
+    agg = (j.groupBy("column_name")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("val") == F.col("gt_val"), 1)
+                      .otherwise(0)).alias("hits")))
+    out = {r["column_name"]: {"n": r["n"], "acc": r["hits"] / r["n"]}
+           for r in agg.collect()}
+    return out

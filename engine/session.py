@@ -1,0 +1,46 @@
+"""SparkSession builder with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "transcript-lakehouse",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra: dict[str, str] | None = None) -> SparkSession:
+    """Defaults chosen for the 100 TB design point, scaled to local mode:
+
+    - AQE on (runtime coalescing + skew-join splitting backstop; our explicit
+      salting in engine.skew handles the hot-conv_id case AQE can't see inside
+      pandas UDF stages)
+    - Arrow enabled (all our Python is vectorized pandas/Arrow UDFs — the
+      reference's per-row ``iterrows`` loops, e.g.
+      codes/search/retrieve_relevant_values.py:133, are the anti-pattern)
+    - shuffle partitions default to 4×cores locally (≥4× tasks per core keeps
+      the N→4N scaling efficiency high; on a real cluster this would be set
+      from the input size / target partition bytes instead)
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
+    cores = 32
+    if master.startswith("local["):
+        inner = master[len("local["):-1]
+        cores = os.cpu_count() if inner == "*" else int(inner)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, 4 * cores)
+    b = (SparkSession.builder.appName(app).master(master)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.files.maxPartitionBytes", "134217728")
+         .config("spark.sql.parquet.filterPushdown", "true")
+         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+         .config("spark.ui.enabled", "false"))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
