@@ -156,6 +156,35 @@ def collect_parquet_stats(abs_path: str) -> tuple[int, int, dict]:
     return md.num_rows, os.path.getsize(abs_path), stats
 
 
+def ts_bounds_micros(entries: list["DataFile"],
+                     col: str = "ts") -> tuple[int, int] | None:
+    """Global [min, max] of a timestamp column in unix micros, computed from
+    manifest stats only (no data scan). Used to normalize the clustering
+    curve's time dimension."""
+    import datetime
+    lo = hi = None
+    for e in entries:
+        st = e.stats.get(col)
+        if not st or "min" not in st:
+            continue
+        for bound, is_min in ((st["min"], True), (st["max"], False)):
+            if isinstance(bound, (int, float)):
+                us = int(bound)
+            else:
+                s = str(bound).replace("Z", "+00:00")
+                dt = datetime.datetime.fromisoformat(s)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=datetime.timezone.utc)
+                us = int(dt.timestamp() * 1_000_000)
+            if is_min:
+                lo = us if lo is None else min(lo, us)
+            else:
+                hi = us if hi is None else max(hi, us)
+    if lo is None or hi is None:
+        return None
+    return lo, hi
+
+
 class Table:
     """Handle to one table; all state lives on disk (no in-memory catalog)."""
 

@@ -63,8 +63,23 @@ def tool_key_col():
 
 def text_key_col():
     return F.concat_ws("§",
-                       F.col("turn_idx"),
+                       F.pmod(F.col("turn_idx"), F.lit(12)),
                        F.coalesce(F.col("prev_text_sig"), F.lit("^")),
+                       F.coalesce(F.col("next_text_sig"), F.lit("$")))
+
+
+def text_prev_key_col():
+    """Single-neighbor fallback key: robust when the other neighbor's text
+    was itself injected (the reference's fuzzy column mapping plays the same
+    degrade-gracefully role, retrieve_relevant_tables.py:489-516)."""
+    return F.concat_ws("§", F.lit("p"),
+                       F.pmod(F.col("turn_idx"), F.lit(12)),
+                       F.coalesce(F.col("prev_text_sig"), F.lit("^")))
+
+
+def text_next_key_col():
+    return F.concat_ws("§", F.lit("n"),
+                       F.pmod(F.col("turn_idx"), F.lit(12)),
                        F.coalesce(F.col("next_text_sig"), F.lit("$")))
 
 
@@ -83,21 +98,28 @@ def build_candidate_index(df: DataFrame, k: int = TOPK) -> DataFrame:
     join on ``key`` (AQE decides)."""
     ctx = _with_context(df)
 
-    role_pairs = (ctx.filter(F.col("role").isNotNull())
-                  .select(F.lit("role").alias("column_name"),
-                          role_key_col().alias("key"),
-                          F.col("role").alias("candidate")))
-    tool_pairs = (ctx.filter(F.col("tool").isNotNull()
-                             & F.col("text").isNotNull())
-                  .select(F.lit("tool").alias("column_name"),
-                          tool_key_col().alias("key"),
-                          F.col("tool").alias("candidate")))
-    text_pairs = (ctx.filter(F.col("text").isNotNull())
-                  .select(F.lit("text").alias("column_name"),
-                          text_key_col().alias("key"),
-                          F.col("text").alias("candidate")))
+    def pairs_of(name: str, key_col, value: str,
+                 extra_filter=None):
+        p = ctx.filter(F.col(value).isNotNull())
+        if extra_filter is not None:
+            p = p.filter(extra_filter)
+        return p.select(F.lit(name).alias("column_name"),
+                        key_col.alias("key"),
+                        F.col(value).alias("candidate"))
 
-    pairs = role_pairs.unionByName(tool_pairs).unionByName(text_pairs)
+    pairs = (
+        pairs_of("role", role_key_col(), "role")
+        # role is also pinned by the row's own text (tuple similarity on a
+        # second mapped column, like the reference probing every related
+        # column — retrieve_relevant_tables.py:430-474)
+        .unionByName(pairs_of("role_text", tool_key_col(), "role",
+                              F.col("text").isNotNull()))
+        .unionByName(pairs_of("tool", tool_key_col(), "tool",
+                              F.col("text").isNotNull()))
+        .unionByName(pairs_of("text", text_key_col(), "text"))
+        .unionByName(pairs_of("text_prev", text_prev_key_col(), "text"))
+        .unionByName(pairs_of("text_next", text_next_key_col(), "text"))
+    )
     scored = (pairs.groupBy("column_name", "key", "candidate")
               .agg(F.count(F.lit(1)).cast("double").alias("score")))
     return _topk(scored, k)

@@ -79,37 +79,54 @@ def _hilbert_udf(x: pd.Series, y: pd.Series) -> pd.Series:
                                   y.to_numpy(np.uint64)))
 
 
-def _dims(ts_col: str = "ts", conv_col: str = "conv_id") -> tuple[Column, Column]:
-    """Two 31-bit dimensions: conversation-hash and quantized time.
+def _dims(ts_col: str, conv_col: str,
+          ts_bounds: tuple[int, int] | None) -> tuple[Column, Column]:
+    """Two 31-bit dimensions: conversation-hash and range-normalized time.
 
-    - x: top 31 bits of xxhash64(conv_id) (uniform)
-    - y: seconds since 2020 quantized to 16 s buckets, capped at 31 bits
-      (covers ~1000 years — plenty)
+    Both dimensions MUST span comparable ranges before interleaving —
+    otherwise the wide one's high bits dominate the curve and the narrow one
+    degenerates to noise (a raw 31-bit hash vs a few-hour micros range would
+    make Z-order ≈ hash order, destroying ts locality). The hash is uniform
+    over its 31 bits by construction; ts is stretched over [lo, hi] taken from
+    manifest stats (metadata-only — no extra data scan).
     """
     x = F.shiftrightunsigned(F.xxhash64(F.col(conv_col)), 33)
-    secs = F.unix_timestamp(F.col(ts_col)) - F.lit(1577836800)
-    y = F.shiftrightunsigned(F.greatest(secs, F.lit(0)).cast("long"), 4)
+    micros = F.unix_micros(F.col(ts_col))
+    if ts_bounds is not None:
+        lo, hi = ts_bounds
+        span = max(1, hi - lo)
+        y = (((micros - F.lit(lo)).cast("double") / F.lit(float(span)))
+             * F.lit(float((1 << _BITS) - 1))).cast("long")
+        y = F.greatest(F.least(y, F.lit((1 << _BITS) - 1)), F.lit(0))
+    else:
+        # no bounds known: 16 s buckets since 2020 (covers ~1000 years)
+        y = F.shiftrightunsigned(
+            F.greatest(micros // 1_000_000 - F.lit(1577836800),
+                       F.lit(0)).cast("long"), 4)
     return x, y
 
 
-def zorder_key(ts_col: str = "ts", conv_col: str = "conv_id") -> Column:
-    x, y = _dims(ts_col, conv_col)
+def zorder_key(ts_col: str = "ts", conv_col: str = "conv_id",
+               ts_bounds: tuple[int, int] | None = None) -> Column:
+    x, y = _dims(ts_col, conv_col, ts_bounds)
     return _zorder_udf(x, y)
 
 
-def hilbert_key(ts_col: str = "ts", conv_col: str = "conv_id") -> Column:
-    x, y = _dims(ts_col, conv_col)
+def hilbert_key(ts_col: str = "ts", conv_col: str = "conv_id",
+                ts_bounds: tuple[int, int] | None = None) -> Column:
+    x, y = _dims(ts_col, conv_col, ts_bounds)
     return _hilbert_udf(x, y)
 
 
 def cluster_dataframe(df: DataFrame, strategy: str = "zorder",
                       num_files: int | None = None,
-                      ts_col: str = "ts", conv_col: str = "conv_id") -> DataFrame:
+                      ts_col: str = "ts", conv_col: str = "conv_id",
+                      ts_bounds: tuple[int, int] | None = None) -> DataFrame:
     """Attach the space-filling-curve key, range-partition on it (each output
     file owns a contiguous curve segment → tight min/max on BOTH dimensions),
     sort within partitions, drop the key."""
-    key = zorder_key(ts_col, conv_col) if strategy == "zorder" \
-        else hilbert_key(ts_col, conv_col)
+    key = zorder_key(ts_col, conv_col, ts_bounds) if strategy == "zorder" \
+        else hilbert_key(ts_col, conv_col, ts_bounds)
     out = df.withColumn("__ckey", key)
     if num_files:
         out = out.repartitionByRange(num_files, "__ckey")

@@ -17,7 +17,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointLog, TaskRecord
-from .format import DataFile, Snapshot, Table, collect_parquet_stats
+from .format import (DataFile, Snapshot, Table, collect_parquet_stats,
+                     ts_bounds_micros)
 from .layout import cluster_dataframe
 from .write import stage_dataframe
 
@@ -133,7 +134,8 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
     else:
         df = spark.read.parquet(
             *[os.path.join(table.root, p) for p in in_paths])
-        out = cluster_dataframe(df, strategy=strategy, num_files=num_files)
+        out = cluster_dataframe(df, strategy=strategy, num_files=num_files,
+                                ts_bounds=ts_bounds_micros(entries))
         staged = stage_dataframe(table, out)
         rows = sum(e.record_count for e in staged)
         mean_rows = rows / max(1, len(staged))

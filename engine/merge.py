@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from .checkpoint import CheckpointLog, TaskRecord
 from .format import DataFile, Snapshot, Table, collect_parquet_stats
 from .index import (_with_context, build_candidate_index, fallback_stats,
-                    role_key_col, text_key_col, tool_key_col)
+                    role_key_col, text_key_col, text_next_key_col,
+                    text_prev_key_col, tool_key_col)
 from .scan import Predicate, prune_files, scan
 from .write import stage_dataframe
 
@@ -64,18 +65,31 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
                 .select(F.col("key"),
                         F.col("candidate").alias(f"cand_{colname}")))
 
+    keyed = {"role": role_key_col(), "role_text": tool_key_col(),
+             "tool": tool_key_col(), "text": text_key_col(),
+             "text_prev": text_prev_key_col(),
+             "text_next": text_next_key_col()}
+    for name, key_col in keyed.items():
+        work = work.withColumn(f"{name}_key", key_col)
+        work = (work.join(F.broadcast(idx_for(name)),
+                          work[f"{name}_key"] == F.col("key"), "left")
+                .drop("key"))
+    work = work.join(F.broadcast(fallbacks), "turn_mod", "left")
+    # candidate preference: the tool→role functional dependency (a non-null
+    # tool cell implies role='tool' — the static FD the reference would mine
+    # with Metanome, codes/fd_tools/generate_fds.py:62-72) beats the own-text
+    # key (exact tuple match), which beats the two-neighbor context key,
+    # which beats single-neighbor keys
     work = (work
-            .withColumn("role_key", role_key_col())
-            .withColumn("tool_key", tool_key_col())
-            .withColumn("text_key", text_key_col()))
-    work = (work
-            .join(F.broadcast(idx_for("role")),
-                  work["role_key"] == F.col("key"), "left").drop("key")
-            .join(F.broadcast(idx_for("tool")),
-                  work["tool_key"] == F.col("key"), "left").drop("key")
-            .join(F.broadcast(idx_for("text")),
-                  work["text_key"] == F.col("key"), "left").drop("key")
-            .join(F.broadcast(fallbacks), "turn_mod", "left"))
+            .withColumn("cand_role",
+                        F.coalesce(F.when(F.col("tool").isNotNull(),
+                                          F.lit("tool")),
+                                   F.col("cand_role_text"),
+                                   F.col("cand_role")))
+            .withColumn("cand_text",
+                        F.coalesce(F.col("cand_text"),
+                                   F.col("cand_text_prev"),
+                                   F.col("cand_text_next"))))
 
     est_role = F.coalesce(F.col("role_mode"), F.lit("assistant"))
     # a turn needs a tool value only if its (possibly imputed) role is 'tool'

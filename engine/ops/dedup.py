@@ -1,0 +1,208 @@
+"""Deduplication operators for a training-data lake.
+
+Reference analogs: value-set Jaccard via MinHash-LSH
+(``codes/search/construct_index.py:87-140``), q-gram Jaccard string similarity
+(``codes/utils/match_row.py:45-51``), dedup-before-expensive-op
+(``match_row.py:28``). Promoted here from per-column index probes to
+document-grain dedup over the whole corpus, expressed so Catalyst keeps every
+stage a hash shuffle or broadcast join — no per-row Python anywhere; the only
+UDF (SimHash) is Arrow-vectorized numpy.
+
+Scale notes (100 TB): the shingle explode is the big intermediate — it is
+immediately re-aggregated (map-side partial min for MinHash), so the shuffle
+carries only |docs| × num_perm rows. Candidate pairs come from band-bucket
+equi-joins (never a cross join); exact Jaccard verification touches only
+candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+NORMALIZE = r"[^a-z0-9 ]"
+
+
+def normalized_text(col: str = "text"):
+    """Reference string canonicalization (generalFunctions.py:44-56):
+    lower → strip non-alnum → collapse whitespace → trim."""
+    c = F.lower(F.col(col))
+    c = F.regexp_replace(c, NORMALIZE, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def tokens(col: str = "text"):
+    return F.split(normalized_text(col), " ")
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per identical normalized text. Hash-groupBy: one
+    shuffle on a fixed-width digest rather than the full text bytes."""
+    return (docs
+            .withColumn("text_hash", F.md5(normalized_text(text_col)))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+# ------------------------------------------------------------- ngram jaccard
+def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        n: int = 1) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via an inverted-index join
+    (explode → self-equi-join on gram → count ∩ → |A∪B| from per-doc sizes).
+    Never materializes the doc×doc cross product; the join key is the gram,
+    so common-gram skew is bounded by dropping ultra-frequent grams (df > 1%
+    of corpus) — standard stop-gram pruning."""
+    base = docs.select(F.col(id_col).alias("id"),
+                       tokens(text_col).alias("toks"))
+    if n > 1:
+        base = base.withColumn(
+            "toks",
+            F.expr(f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+                   f" i -> array_join(slice(toks, i, {n}), ' '))"))
+    grams = base.select("id",
+                        F.explode(F.array_distinct("toks")).alias("g"))
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("common")))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                 .withColumnRenamed("sz", "sz_a"), "id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("sz", "sz_b"), "id_b")
+           .withColumn("jaccard",
+                       F.col("common")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_signatures(docs: DataFrame, num_perm: int = 16,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """MinHash over the token set: sig_i = min(md5(i || token)).
+
+    md5-as-permutation matches the reference's datasketch MinHash update
+    (``construct_index.py:96-100``) in spirit and — unlike xxhash64 — has an
+    exact DuckDB equivalent, so the driver oracle can verify it. The explode
+    re-aggregates immediately: Spark's partial hash agg computes per-partition
+    mins map-side, so the shuffle is |docs|×1 rows of num_perm columns."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(F.array_distinct(tokens(text_col)))
+                       .alias("tok"))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("tok"))))
+            .alias(f"mh{i}") for i in range(num_perm)]
+    return toks.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
+                      threshold: float = 0.5,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """MinHash + LSH banding: docs sharing any band bucket become candidate
+    pairs; candidates are verified with exact token Jaccard. This is the
+    reference's LSH-Ensemble probe (``construct_index.py:128-140``) recast as
+    two equi-joins — index build and query collapse into one self-join."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, id_col, text_col)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("|", *cols))
+                                  .alias("bucket")))
+    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")) \
+                  .select("id", "bb.band", "bb.bucket")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    exact = token_jaccard_pairs(docs, threshold=0.0, id_col=id_col,
+                                text_col=text_col)
+    return (cand.join(exact, ["id_a", "id_b"], "inner")
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ------------------------------------------------------------------ simhash
+@pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash, Arrow-vectorized: token → 64-bit hash (python hash of
+    md5 prefix), weighted bit-vote. The loop is over tokens per doc inside
+    numpy — no Spark-row-at-a-time Python."""
+    import hashlib
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = str(t).lower().split()
+        if not toks:
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
+            dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        sim |= np.uint64(np.packbits((votes > 0)[::-1]).view(">u8")[0])
+        out[i] = np.int64(sim.astype(np.uint64).view(np.int64))
+    return pd.Series(out)
+
+
+def simhash_dedup(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  prefix_bits: int = 16) -> DataFrame:
+    """Near-dup candidates = docs sharing the SimHash top-``prefix_bits``
+    prefix (one blocking pass; full multi-probe Hamming search would rotate
+    the blocks). Spark-only op: driver records a rows-only check."""
+    sigs = docs.select(F.col(id_col).alias("id"),
+                       _simhash64(F.col(text_col)).alias("sim"))
+    block = F.shiftrightunsigned(F.col("sim"), 64 - prefix_bits)
+    return (sigs.withColumn("block", block)
+            .groupBy("block")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("id").alias("keep_id"))
+            .filter(F.col("n") > 1))
+
+
+# -------------------------------------------------------------- embedding dup
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dups. Exact form is a self-join; at corpus scale
+    use ``engine.ops.similarity.lsh_bucket`` blocking first. Cosine is pure
+    Spark SQL (zip_with + aggregate) — stays in codegen, no UDF."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _cosine(F.col("va"), F.col("vb"))
+    return (pairs.withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def _cosine(va, vb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)

@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Reference analog: the HNSW kNN probe over column-profile vectors
+(``codes/search/construct_index.py:386-414`` — L2, M=16, ef=200) intersected
+with LSH results (``construct_index.py:284-313``). Recast: brute-force cosine
+top-k is the exact baseline (pure Spark SQL — zip_with dot products inside
+codegen, window top-k); random-hyperplane LSH bucketing is the scale path
+(candidates only from matching buckets, multi-probe across all tables of
+hyperplanes).
+
+Scale: brute force is O(|Q|·|C|) — fine for |Q| small (reference probes one
+column at a time); the LSH path makes |C| per-bucket. Hyperplanes are
+deterministic (seeded numpy inside the pandas UDF), so results are identical
+across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from .dedup import _cosine
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query. queries is the small side (broadcast);
+    scoring is zip_with/aggregate — wholestage-codegen'd, no Python."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine", F.round(_cosine(F.col("qv"),
+                                                    F.col("cv")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rk"))
+
+
+def _make_bucket_udf(num_planes: int, dim: int, seed: int, table: int):
+    planes = np.random.RandomState(seed + table).randn(num_planes, dim)
+
+    @pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())              # (rows, dim)
+        bits = (m @ planes.T) > 0                   # (rows, planes)
+        weights = (1 << np.arange(num_planes)).astype(np.int64)
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return bucket
+
+
+def lsh_bucket(emb: DataFrame, num_planes: int = 8, dim: int = 16,
+               seed: int = 42, tables: int = 2,
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach ``tables`` random-hyperplane bucket ids; near vectors collide in
+    at least one table with high probability. One vectorized matrix multiply
+    per Arrow batch."""
+    out = emb
+    for t in range(tables):
+        out = out.withColumn(f"bucket_{t}",
+                             _make_bucket_udf(num_planes, dim, seed, t)(
+                                 F.col(vec_col)))
+    return out
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             num_planes: int = 8, dim: int = 16, seed: int = 42,
+             tables: int = 2, multiprobe: bool = True,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: candidates = union over hash tables of same-bucket corpus
+    vectors (equi-join per table — never a cross join), then exact cosine +
+    window top-k over candidates only.
+
+    ``multiprobe`` additionally probes every Hamming-1 neighbor bucket of the
+    query's bucket (flip one hyperplane sign) — ×(num_planes+1) probes on the
+    tiny query side buys most of the recall an extra hash table would,
+    without re-hashing the corpus (the big side is untouched)."""
+    qb = lsh_bucket(queries, num_planes, dim, seed, tables, vec_col) \
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                *[F.col(f"bucket_{t}") for t in range(tables)])
+    cb = lsh_bucket(corpus, num_planes, dim, seed, tables, vec_col) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                *[F.col(f"bucket_{t}") for t in range(tables)])
+    cands = None
+    for t in range(tables):
+        q_t = qb.select("query_id", "qv", f"bucket_{t}")
+        if multiprobe:
+            probes = F.array(F.col(f"bucket_{t}"),
+                             *[F.col(f"bucket_{t}").bitwiseXOR(1 << b)
+                               for b in range(num_planes)])
+            q_t = (q_t.select("query_id", "qv",
+                              F.explode(probes).alias(f"bucket_{t}")))
+        c = (F.broadcast(q_t)
+             .join(cb.select("neighbor_id", "cv", f"bucket_{t}"),
+                   f"bucket_{t}")
+             .select("query_id", "qv", "neighbor_id", "cv"))
+        cands = c if cands is None else cands.unionByName(c)
+    cands = (cands.dropDuplicates(["query_id", "neighbor_id"])
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("cosine",
+                         F.round(_cosine(F.col("qv"), F.col("cv")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (cands.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rk"))

@@ -4,7 +4,34 @@ from __future__ import annotations
 
 import os
 
+import zipfile
+
 from pyspark.sql import SparkSession
+
+
+def _ship_engine(spark: SparkSession) -> None:
+    """Distribute this package to executors (the programmatic equivalent of
+    ``spark-submit --py-files engine.zip`` the north rule mandates). Without
+    it, cloudpickled pandas UDFs fail to deserialize on workers whenever the
+    driver's cwd isn't the repo root."""
+    import engine
+    pkg_dir = os.path.dirname(os.path.abspath(engine.__file__))
+    zpath = os.path.join(pkg_dir, os.pardir, ".engine-pyfiles.zip")
+    zpath = os.path.abspath(zpath)
+    src_mtime = max(os.path.getmtime(os.path.join(r, f))
+                    for r, _, fs in os.walk(pkg_dir)
+                    for f in fs if f.endswith(".py"))
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < src_mtime:
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for r, _, fs in os.walk(pkg_dir):
+                for f in fs:
+                    if f.endswith(".py"):
+                        full = os.path.join(r, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
 
 
 def get_spark(app: str = "transcript-lakehouse",
@@ -38,9 +65,14 @@ def get_spark(app: str = "transcript-lakehouse",
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.files.maxPartitionBytes", "134217728")
          .config("spark.sql.parquet.filterPushdown", "true")
+         # INT96 timestamps carry no parquet stats → no ts-based file pruning;
+         # micros keep min/max in footers (and are the modern default anyway)
+         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
          .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
          .config("spark.ui.enabled", "false"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _ship_engine(spark)
+    return spark

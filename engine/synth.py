@@ -91,18 +91,24 @@ def generate_transcripts(spark: SparkSession, num_convs: int = 200,
                F.element_at(tool_arr,
                             (F.pmod(F.col("grp") + F.col("turn_idx"), 4) + 1
                              ).cast("int"))))
-    # text: determined by (grp, turn_idx, role) → duplicated across the ~10
-    # conversations of a group; variable length (repeat 1..8×) for bin-packing
+    # text: determined by (grp, turn_idx mod 12) → duplicated across the ~10
+    # conversations of a group AND across every 12th turn, so each cell's
+    # ground truth exists elsewhere in the lake (like the reference's
+    # benchmarks, where injected cells are recoverable from related tables —
+    # codes/utils/inject_missing_values.py samples from *observed* values).
+    # 12 = lcm(role-cycle lengths 2,3,4), so turn%12 also pins the role.
+    # Variable length (repeat 1..8×) exercises byte-based bin-packing.
+    tmod = F.pmod(F.col("turn_idx"), F.lit(12))
     phrase_arr = F.array(*[F.lit(p) for p in _PHRASES])
     body = F.element_at(
         phrase_arr,
-        (F.pmod(F.col("grp") * 31 + F.col("turn_idx") * 7, len(_PHRASES)) + 1
+        (F.pmod(F.col("grp") * 31 + tmod * 7, len(_PHRASES)) + 1
          ).cast("int"))
-    reps = (F.pmod(F.col("grp") * 13 + F.col("turn_idx") * 5, 8) + 1).cast("int")
+    reps = (F.pmod(F.col("grp") * 13 + tmod * 5, 8) + 1).cast("int")
     t = t.withColumn(
         "text",
         F.concat(F.format_string("msg g%04d/t%04d %s: ",
-                                 F.col("grp"), F.col("turn_idx"), F.col("role")),
+                                 F.col("grp"), tmod, F.col("role")),
                  F.repeat(F.concat(body, F.lit(" ")), reps)))
     # ts: conversations interleaved in time; monotone within a conversation
     t = t.withColumn(

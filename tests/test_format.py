@@ -1,0 +1,81 @@
+"""Table format: snapshots, atomic commit, isolation, expiry."""
+
+import pytest
+
+from engine.format import Table
+from engine.scan import scan, scan_stats
+from engine.synth import generate_transcripts
+from engine.write import append
+
+from .conftest import sorted_rows
+
+
+def _make(spark, root, convs=30, files=4):
+    df = generate_transcripts(spark, num_convs=convs)
+    t = Table.create(root)
+    append(t, df, num_files=files, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    return t, df
+
+
+def test_create_append_read(spark, tmp_table_root):
+    t, df = _make(spark, tmp_table_root)
+    out = scan(spark, t)
+    assert sorted_rows(out) == sorted_rows(df)
+    st = scan_stats(t)
+    assert st["files"] == 4 and st["rows"] == df.count()
+
+
+def test_append_creates_new_snapshot(spark, tmp_table_root):
+    t, df = _make(spark, tmp_table_root)
+    s1 = t.current_snapshot()
+    extra = generate_transcripts(spark, num_convs=5).limit(10)
+    append(t, extra, num_files=1)
+    s2 = t.current_snapshot()
+    assert s2.snapshot_id == s1.snapshot_id + 1
+    assert s2.parent_id == s1.snapshot_id
+    # old snapshot still resolves to the old file set (snapshot isolation)
+    assert scan(spark, t, snapshot_id=s1.snapshot_id).count() == df.count()
+    assert scan(spark, t).count() == df.count() + 10
+
+
+def test_manifest_stats_present(spark, tmp_table_root):
+    t, _ = _make(spark, tmp_table_root)
+    for e in t.manifest_entries():
+        assert e.record_count > 0 and e.file_size_bytes > 0
+        assert "conv_id" in e.stats and "min" in e.stats["conv_id"]
+        assert "turn_idx" in e.stats
+        assert e.stats["conv_id"]["min"] <= e.stats["conv_id"]["max"]
+
+
+def test_range_partitioned_files_have_tight_bounds(spark, tmp_table_root):
+    """repartitionByRange must give near-disjoint conv_id ranges per file —
+    this is what makes manifest pruning effective."""
+    t, _ = _make(spark, tmp_table_root, convs=40, files=8)
+    spans = sorted((e.stats["conv_id"]["min"], e.stats["conv_id"]["max"])
+                   for e in t.manifest_entries())
+    overlaps = sum(1 for (a, b) in zip(spans, spans[1:]) if b[0] < a[1])
+    assert overlaps == 0
+
+
+def test_expire_snapshots_keeps_current(spark, tmp_table_root):
+    t, _ = _make(spark, tmp_table_root)
+    for _ in range(3):
+        append(t, generate_transcripts(spark, num_convs=2).limit(5),
+               num_files=1)
+    all_ids = [s.snapshot_id for s in t.snapshots()]
+    expired = t.expire_snapshots(keep_last=2)
+    kept = [s.snapshot_id for s in t.snapshots()]
+    assert t.current_snapshot().snapshot_id in kept
+    assert len(kept) == 2 and set(expired) == set(all_ids) - set(kept)
+    with pytest.raises(KeyError):
+        t.snapshot(expired[0])
+
+
+def test_commit_is_atomic_via_version_hint(spark, tmp_table_root):
+    t, _ = _make(spark, tmp_table_root)
+    v = t.current_version()
+    meta = t.load_metadata(v)
+    assert meta["current_snapshot_id"] == t.current_snapshot().snapshot_id
+    # older metadata versions remain readable (time travel on metadata)
+    assert t.load_metadata(v - 1)["version"] == v - 1

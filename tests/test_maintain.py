@@ -1,0 +1,163 @@
+"""Maintenance ops: identical scan output, snapshot isolation, orphan safety."""
+
+import os
+
+from engine.format import Table
+from engine.maintain import (cluster, compact, expire_snapshots,
+                             rewrite_manifests, run_maintenance,
+                             sweep_orphans)
+from engine.scan import scan, scan_stats
+from engine.synth import generate_transcripts, inject_missing
+from engine.write import append
+
+from .conftest import sorted_rows
+
+
+def _setup(spark, root, convs=50, files=16):
+    df = generate_transcripts(spark, num_convs=convs)
+    t = Table.create(root)
+    append(t, df, num_files=files, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    return t, df
+
+
+def test_compact_preserves_scan_output(spark, tmp_table_root):
+    t, df = _setup(spark, tmp_table_root)
+    before = sorted_rows(scan(spark, t))
+    snap = compact(spark, t, target_bytes=1 << 20, pass_id="c1")
+    assert snap is not None and snap.operation == "compact"
+    assert sorted_rows(scan(spark, t)) == before
+    assert scan_stats(t)["files"] < 16
+
+
+def test_compact_old_snapshot_still_readable(spark, tmp_table_root):
+    """Snapshot isolation through maintenance: a reader pinned before the
+    compaction sees the old file layout and identical rows."""
+    t, df = _setup(spark, tmp_table_root)
+    pinned = t.current_snapshot().snapshot_id
+    before = sorted_rows(scan(spark, t, snapshot_id=pinned))
+    compact(spark, t, target_bytes=1 << 20, pass_id="c1")
+    assert sorted_rows(scan(spark, t, snapshot_id=pinned)) == before
+
+
+def test_compact_resume(spark, tmp_table_root):
+    t, _ = _setup(spark, tmp_table_root)
+    s1 = compact(spark, t, target_bytes=1 << 20, pass_id="c1")
+    s2 = compact(spark, t, target_bytes=1 << 20, pass_id="c1")
+    assert s2.snapshot_id == s1.snapshot_id
+
+
+def test_cluster_zorder_preserves_scan_output(spark, tmp_table_root):
+    t, df = _setup(spark, tmp_table_root)
+    before = sorted_rows(scan(spark, t))
+    snap = cluster(spark, t, "zorder", target_bytes=1 << 18, pass_id="z1")
+    assert snap.operation == "cluster-zorder"
+    assert sorted_rows(scan(spark, t)) == before
+
+
+def test_cluster_hilbert_preserves_scan_output(spark, tmp_table_root):
+    t, df = _setup(spark, tmp_table_root)
+    before = sorted_rows(scan(spark, t))
+    cluster(spark, t, "hilbert", target_bytes=1 << 18, pass_id="h1")
+    assert sorted_rows(scan(spark, t)) == before
+
+
+def test_cluster_bounds_both_dimensions(spark, tmp_table_root):
+    """The point of the space-filling curve: per-file min/max spans stay a
+    bounded fraction of the GLOBAL span on BOTH dimensions simultaneously
+    (a single-column sort can only bound one)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t, df = _setup(spark, tmp_table_root, convs=120, files=16)
+    cluster(spark, t, "zorder", target_bytes=1 << 13, pass_id="z1")
+    entries = [e for e in t.manifest_entries() if "ts" in e.stats]
+    assert len(entries) >= 8
+
+    def ts_val(v):
+        s = str(v).replace("Z", "+00:00")
+        dt = datetime.datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        return dt.timestamp()
+
+    ts_spans = [ts_val(e.stats["ts"]["max"]) - ts_val(e.stats["ts"]["min"])
+                for e in entries]
+    glob_ts = (max(ts_val(e.stats["ts"]["max"]) for e in entries)
+               - min(ts_val(e.stats["ts"]["min"]) for e in entries))
+    mean_ts_frac = (sum(ts_spans) / len(ts_spans)) / glob_ts
+
+    # conv-hash dimension: per-file span of xxhash64(conv_id)>>33, measured
+    # from the data files themselves (conv_id string bounds don't map to
+    # hash bounds)
+    glob = df.select(
+        F.min(F.shiftrightunsigned(F.xxhash64("conv_id"), 33)).alias("lo"),
+        F.max(F.shiftrightunsigned(F.xxhash64("conv_id"), 33)).alias("hi")
+    ).first()
+    glob_h = glob["hi"] - glob["lo"]
+    h_fracs = []
+    for e in entries:
+        fdf = spark.read.parquet(os.path.join(t.root, e.path))
+        r = fdf.select(
+            F.min(F.shiftrightunsigned(F.xxhash64("conv_id"), 33)).alias("lo"),
+            F.max(F.shiftrightunsigned(F.xxhash64("conv_id"), 33)).alias("hi")
+        ).first()
+        h_fracs.append((r["hi"] - r["lo"]) / glob_h)
+    mean_h_frac = sum(h_fracs) / len(h_fracs)
+
+    # both dimensions simultaneously bounded well below the global span
+    assert mean_ts_frac < 0.6, mean_ts_frac
+    assert mean_h_frac < 0.6, mean_h_frac
+    assert mean_ts_frac + mean_h_frac < 1.0
+
+
+def test_rewrite_manifests_preserves_files(spark, tmp_table_root):
+    t, _ = _setup(spark, tmp_table_root)
+    before_files = {e.path for e in t.manifest_entries()}
+    before_rows = sorted_rows(scan(spark, t))
+    snap = rewrite_manifests(t, entries_per_manifest=4)
+    assert snap.operation == "rewrite-manifests"
+    assert {e.path for e in t.manifest_entries()} == before_files
+    assert sorted_rows(scan(spark, t)) == before_rows
+    assert len(snap.manifests) == 4  # 16 files / 4 per manifest
+
+
+def test_orphan_sweep_removes_only_unreferenced(spark, tmp_table_root):
+    t, _ = _setup(spark, tmp_table_root, convs=30, files=6)
+    compact(spark, t, target_bytes=1 << 20, pass_id="c1")
+    # both snapshots retained → nothing is orphaned yet
+    assert sweep_orphans(spark, t, grace_seconds=0.0) == []
+    before = sorted_rows(scan(spark, t))
+    expire_snapshots(t, keep_last=1)
+    removed = sweep_orphans(spark, t, grace_seconds=0.0)
+    assert len(removed) > 0
+    assert sorted_rows(scan(spark, t)) == before  # HEAD unharmed
+    for e in t.manifest_entries():
+        assert os.path.exists(os.path.join(t.root, e.path))
+
+
+def test_orphan_sweep_respects_grace_period(spark, tmp_table_root):
+    t, _ = _setup(spark, tmp_table_root, convs=20, files=4)
+    compact(spark, t, target_bytes=1 << 20, pass_id="c1")
+    expire_snapshots(t, keep_last=1)
+    # freshly-written files are younger than the grace period → protected
+    assert sweep_orphans(spark, t, grace_seconds=3600.0) == []
+
+
+def test_full_maintenance_pipeline(spark, tmp_table_root):
+    df = generate_transcripts(spark, num_convs=60)
+    injected, wl = inject_missing(df)
+    t = Table.create(tmp_table_root)
+    append(t, injected, num_files=12, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    res = run_maintenance(spark, t, target_bytes=1 << 20)
+    out = scan(spark, t)
+    assert out.count() == df.count()
+    assert out.filter("role is null or text is null").count() == 0
+    # non-injected cells bit-identical after the WHOLE pass
+    keys = wl.select("conv_id", "turn_idx").distinct()
+    assert (sorted_rows(out.join(keys, ["conv_id", "turn_idx"], "left_anti"))
+            == sorted_rows(df.join(keys, ["conv_id", "turn_idx"],
+                                   "left_anti")))
+    assert res["orphans_removed"] >= 0

@@ -1,0 +1,138 @@
+"""MERGE-impute invariants (the BASELINE.json correctness gate):
+non-injected cells untouched, deterministic imputation, checkpoint resume."""
+
+from pyspark.sql import functions as F
+
+from engine.format import Table
+from engine.merge import evaluate_impute, impute_merge, merge_into
+from engine.scan import scan
+from engine.synth import generate_transcripts, inject_missing
+from engine.write import append
+
+from .conftest import sorted_rows
+
+
+def _setup(spark, root, convs=80):
+    df = generate_transcripts(spark, num_convs=convs)
+    injected, wl = inject_missing(df)
+    t = Table.create(root)
+    append(t, injected, num_files=8, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    return t, df, injected, wl
+
+
+def test_impute_fills_all_missing(spark, tmp_table_root):
+    t, df, injected, wl = _setup(spark, tmp_table_root)
+    impute_merge(spark, t, pass_id="p1")
+    out = scan(spark, t)
+    assert out.filter("role is null or text is null").count() == 0
+    assert out.filter("role = 'tool' and tool is null").count() == 0
+
+
+def test_impute_preserves_non_injected_cells(spark, tmp_table_root):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering for
+    every cell that was NOT injected — the reference invariant."""
+    t, df, injected, wl = _setup(spark, tmp_table_root)
+    impute_merge(spark, t, pass_id="p1")
+    out = scan(spark, t)
+    injected_keys = wl.select("conv_id", "turn_idx").distinct()
+    got = sorted_rows(out.join(injected_keys, ["conv_id", "turn_idx"],
+                               "left_anti"))
+    want = sorted_rows(df.join(injected_keys, ["conv_id", "turn_idx"],
+                               "left_anti"))
+    assert got == want
+
+
+def test_impute_accuracy(spark, tmp_table_root):
+    t, df, injected, wl = _setup(spark, tmp_table_root)
+    impute_merge(spark, t, pass_id="p1")
+    acc = evaluate_impute(scan(spark, t), wl)
+    assert acc["role"]["acc"] >= 0.95
+    assert acc["tool"]["acc"] >= 0.9
+    assert acc["text"]["acc"] >= 0.9
+
+
+def test_impute_row_and_key_counts_stable(spark, tmp_table_root):
+    t, df, injected, wl = _setup(spark, tmp_table_root)
+    before = scan(spark, t).count()
+    impute_merge(spark, t, pass_id="p1")
+    out = scan(spark, t)
+    assert out.count() == before
+    assert out.select("conv_id", "turn_idx").distinct().count() == before
+
+
+def test_impute_deterministic_across_parallelism(spark, tmp_table_root):
+    """Same input → byte-identical imputed table at different shuffle
+    parallelism (the N-vs-4N invariant, scaled to a config toggle)."""
+    t1, *_ = _setup(spark, tmp_table_root + "-a")
+    impute_merge(spark, t1, pass_id="p1")
+    ref = sorted_rows(scan(spark, t1))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        t2, *_ = _setup(spark, tmp_table_root + "-b")
+        impute_merge(spark, t2, pass_id="p1")
+        assert sorted_rows(scan(spark, t2)) == ref
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_merge_resume_after_crash_is_byte_identical(spark, tmp_table_root):
+    """Crash between staging and snapshot swap → rerun with the same pass_id
+    adopts the staged files and converges to the same table state."""
+    t, df, injected, wl = _setup(spark, tmp_table_root, convs=40)
+    real_commit = Table.commit
+    calls = {"n": 0}
+
+    def exploding_commit(self, *a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before snapshot swap")
+
+    Table.commit = exploding_commit
+    try:
+        try:
+            impute_merge(spark, t, pass_id="crashy")
+        except RuntimeError:
+            pass
+    finally:
+        Table.commit = real_commit
+    assert calls["n"] == 1
+    # resume: same pass id → stage is skipped (checkpoint), commit happens
+    snap = impute_merge(spark, t, pass_id="crashy")
+    assert snap.operation == "merge"
+    # clean-run table for comparison
+    t2, *_ = _setup(spark, tmp_table_root + "-clean", convs=40)
+    impute_merge(spark, t2, pass_id="clean")
+    assert sorted_rows(scan(spark, t)) == sorted_rows(scan(spark, t2))
+
+
+def test_merge_rerun_same_pass_is_noop(spark, tmp_table_root):
+    t, *_ = _setup(spark, tmp_table_root, convs=20)
+    s1 = impute_merge(spark, t, pass_id="once")
+    s2 = impute_merge(spark, t, pass_id="once")
+    assert s2.snapshot_id == s1.snapshot_id
+
+
+def test_generic_merge_update(spark, tmp_table_root):
+    t, df, *_ = _setup(spark, tmp_table_root, convs=20)
+    src = (df.filter("conv_id = 'conv-00000003' and turn_idx < 2")
+           .select("conv_id", "turn_idx",
+                   F.lit("EDITED").alias("new_text")))
+    merge_into(spark, t, src, {"text": "new_text"}, pass_id="edit")
+    out = scan(spark, t)
+    assert out.filter("text = 'EDITED'").count() == 2
+    # untouched rows of the same conversation keep their text
+    keep = out.filter("conv_id = 'conv-00000003' and turn_idx >= 2")
+    orig = df.filter("conv_id = 'conv-00000003' and turn_idx >= 2")
+    assert sorted_rows(keep) == sorted_rows(orig)
+
+
+def test_merge_prunes_unaffected_files(spark, tmp_table_root):
+    """CoW must rewrite only files whose stats intersect the source keys."""
+    t, df, *_ = _setup(spark, tmp_table_root, convs=60)
+    before = {e.path for e in t.manifest_entries()}
+    src = (df.filter("conv_id = 'conv-00000000' and turn_idx = 0")
+           .select("conv_id", "turn_idx", F.lit("X").alias("new_text")))
+    merge_into(spark, t, src, {"text": "new_text"}, pass_id="tiny")
+    after = {e.path for e in t.manifest_entries()}
+    assert len(before & after) > 0  # most files carried over untouched

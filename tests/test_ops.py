@@ -1,0 +1,166 @@
+"""Training-data ops: dedup / similarity / textstats / multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.ops import dedup, multimodal, similarity, textstats
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+def test_exact_dedup_identical_docs_collapse(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"])
+    out = dedup.exact_dedup(d).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep == {1: 2, 3: 1}  # punctuation/case-normalized dup
+
+
+def test_token_jaccard_self_similarity(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.token_jaccard_pairs(d, 0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_lsh_finds_exact_dups_and_agrees_with_jaccard(spark, docs):
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    exact = dedup.token_jaccard_pairs(docs, threshold=0.9)
+    # LSH candidates are verified with exact jaccard → subset of exact pairs
+    assert lsh.join(exact, ["id_a", "id_b"], "left_anti").count() == 0
+    # recall at 0.9 should be high for 16 perms / 4 bands
+    n_exact, n_lsh = exact.count(), lsh.count()
+    assert n_lsh >= 0.7 * n_exact
+
+
+def test_simhash_blocks(spark, docs):
+    blocks = dedup.simhash_dedup(docs)
+    assert blocks.count() > 0
+    assert blocks.filter("n < 2").count() == 0
+
+
+def test_embedding_neardup_symmetric_threshold(spark, emb):
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.5)
+    bad = pairs.filter("cosine < 0.5 or id_a >= id_b").count()
+    assert bad == 0
+
+
+def test_brute_force_topk_shape_and_order(spark, emb):
+    q = emb.filter("vec_id < 3")
+    out = similarity.brute_force_topk(q, emb, k=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rk"], r["cosine"]))
+    for q_id, lst in by_q.items():
+        lst.sort()
+        cosines = [c for _, c in lst]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_topk_recall_on_clustered_vectors(spark):
+    """Recall is only meaningful when near neighbors exist: build 20 tight
+    clusters (intra-cluster cosine ≈ 0.99) and require ANN to find them.
+    (The sf test embeddings are near-random — top-3 at ~70° — where no LSH
+    family can beat brute force; that shape is covered below.)"""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 16)
+    rows = []
+    for i in range(200):
+        c = centers[i % 20]
+        v = c + 0.05 * rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    emb_c = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb_c.filter("vec_id < 10")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.brute_force_topk(q, emb_c, k=3).collect()}
+    ann = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.lsh_topk(q, emb_c, k=3, dim=16,
+                                        tables=4).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.8, recall
+
+
+def test_lsh_topk_shape_on_random_vectors(spark, emb):
+    dim = len(emb.first()["embedding"])
+    q = emb.filter("vec_id < 5")
+    out = similarity.lsh_topk(q, emb, k=3, dim=dim, tables=4)
+    rows = out.collect()
+    assert len(rows) <= 15
+    assert all(r["rk"] <= 3 for r in rows)
+
+
+def test_quality_features_bounds(spark, docs):
+    q = textstats.quality_features(docs)
+    assert q.filter("quality < 0 or quality > 1").count() == 0
+    assert q.filter("punct_ratio < 0 or punct_ratio > 1").count() == 0
+
+
+def test_lang_id_known_sentences(spark):
+    d = spark.createDataFrame([
+        (1, "the cat sat on the mat and looked at the dog"),
+        (2, "der Hund ist nicht auf der Strasse und das ist gut"),
+        (3, "le chat est dans la maison et les oiseaux dans le jardin"),
+        (4, "zzz qqq xxx"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in textstats.lang_id(d).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_token_counts(spark):
+    d = spark.createDataFrame([(1, "Hello worldFoo bar42 baz")],
+                              ["doc_id", "text"])
+    ws = d.select(textstats.token_count("text").alias("n")).first()["n"]
+    bpe = d.select(textstats.bpe_ish_count("text").alias("n")).first()["n"]
+    assert ws == 4 and bpe == 6  # world|Foo and bar|42 split
+
+
+def test_fingerprints_deterministic(spark, docs):
+    fp1 = textstats.fingerprint(docs).select("doc_id", "fp")
+    fp2 = textstats.fingerprint(docs).select("doc_id", "fp")
+    assert fp1.exceptAll(fp2).count() == 0
+    w = textstats.winnow_fingerprint(docs)
+    assert w.filter("winnow_fp is null").count() == 0
+
+
+def test_multimodal_pipeline(spark, docs):
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_features(media, dim=8)
+    rows = feats.limit(5).collect()
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # metadata projection never reads payload twice inconsistently
+    meta = multimodal.media_metadata(media)
+    j = feats.join(meta, "media_id") \
+        .filter(feats["n_bytes"] != meta["n_bytes"]).count()
+    assert j == 0
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes", "image")
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    media = multimodal.synthesize_media(docs)
+    a = multimodal.extract_features(media).select("media_id", "digest")
+    b = multimodal.extract_features(media.repartition(7)) \
+        .select("media_id", "digest")
+    assert a.exceptAll(b).count() == 0

@@ -1,0 +1,62 @@
+"""Manifest-stats file pruning: never wrong, actually prunes."""
+
+from pyspark.sql import functions as F
+
+from engine.format import Table
+from engine.scan import Predicate, prune_files, scan
+from engine.synth import generate_transcripts
+from engine.write import append
+
+from .conftest import sorted_rows
+
+
+def _table(spark, root):
+    df = generate_transcripts(spark, num_convs=60)
+    t = Table.create(root)
+    append(t, df, num_files=8, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    return t, df
+
+
+def test_pruned_scan_equals_filtered_full_scan(spark, tmp_table_root):
+    t, df = _table(spark, tmp_table_root)
+    target = "conv-00000007"
+    pruned = scan(spark, t, predicates=[Predicate("conv_id", "eq", target)])
+    got = sorted_rows(pruned.filter(F.col("conv_id") == target))
+    want = sorted_rows(df.filter(F.col("conv_id") == target))
+    assert got == want and len(want) > 0
+
+
+def test_pruning_reduces_file_count(spark, tmp_table_root):
+    t, _ = _table(spark, tmp_table_root)
+    entries = t.manifest_entries()
+    kept = prune_files(entries, [Predicate("conv_id", "eq", "conv-00000007")])
+    assert 0 < len(kept) < len(entries)
+
+
+def test_in_predicate(spark, tmp_table_root):
+    t, df = _table(spark, tmp_table_root)
+    keys = ["conv-00000001", "conv-00000055"]
+    pruned = scan(spark, t, predicates=[Predicate("conv_id", "in", keys)])
+    got = pruned.filter(F.col("conv_id").isin(keys)).count()
+    assert got == df.filter(F.col("conv_id").isin(keys)).count()
+
+
+def test_range_predicates_conservative(spark, tmp_table_root):
+    t, df = _table(spark, tmp_table_root)
+    preds = [Predicate("turn_idx", "ge", 5), Predicate("turn_idx", "le", 6)]
+    pruned = scan(spark, t, predicates=preds)
+    got = pruned.filter("turn_idx between 5 and 6").count()
+    assert got == df.filter("turn_idx between 5 and 6").count()
+
+
+def test_column_projection(spark, tmp_table_root):
+    t, _ = _table(spark, tmp_table_root)
+    df = scan(spark, t, columns=["conv_id", "turn_idx"])
+    assert df.columns == ["conv_id", "turn_idx"]
+
+
+def test_synth_is_partition_independent(spark):
+    a = generate_transcripts(spark, num_convs=25)
+    b = generate_transcripts(spark, num_convs=25).repartition(13)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
