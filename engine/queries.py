@@ -1,0 +1,531 @@
+"""Driver-contract query registry: one entry per implemented SURVEY.md §2
+operator, each as (Spark callable, equivalent DuckDB oracle SQL).
+
+Conventions that make the driver's order-insensitive value-hash comparison
+deterministic across engines:
+- every aggregate/computed column is aliased identically on both sides
+- doubles are rounded (2-6 dp) BEFORE any ranking that depends on them
+- ties in any top-k / rank are broken by a unique key
+- Spark ``size``/``*_rank`` (int) are cast to bigint to match DuckDB
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ════════════════════════════════════════════════════════════ scans/filters
+# P1/P2 — projection + predicate (reference: df.iloc[:, cols] / dropna,
+# codes/utils/match_row.py:28, construct_index.py:166)
+@register("p1_projection_filter", """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'N'
+""")
+def p1(spark, sf):
+    return (_t(spark, sf, "lineitem")
+            .filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "N"))
+            .select("l_orderkey", "l_partkey", "l_quantity"))
+
+
+# P3 — null-string normalization (generalFunctions.py:59-64)
+@register("p3_null_normalize", """
+SELECT coalesce(src, '<null>') AS src, count(*) AS cnt FROM (
+  SELECT CASE WHEN lower(trim(source)) IN
+    ('nan','-','unknown','other (unknown)','null','na','',' ')
+    THEN NULL ELSE source END AS src FROM documents)
+GROUP BY 1
+""")
+def p3(spark, sf):
+    nulls = ["nan", "-", "unknown", "other (unknown)", "null", "na", "", " "]
+    src = F.when(F.lower(F.trim(F.col("source"))).isin(nulls),
+                 F.lit(None)).otherwise(F.col("source"))
+    return (_t(spark, sf, "documents").select(src.alias("src"))
+            .select(F.coalesce("src", F.lit("<null>")).alias("src"))
+            .groupBy("src").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# P4 — numeric range predicate = the min/max pruning analog
+# (row_acquisitor.py:705-712)
+@register("p4_range_filter", """
+SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 2) AS total
+FROM lineitem WHERE l_extendedprice BETWEEN 1000 AND 2000
+GROUP BY l_returnflag
+""")
+def p4(spark, sf):
+    return (_t(spark, sf, "lineitem")
+            .filter(F.col("l_extendedprice").between(1000, 2000))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total")))
+
+
+# P5 — domain/isin predicate (row_acquisitor.py:721-723)
+@register("p5_domain_filter", """
+SELECT o_orderstatus, count(*) AS cnt FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY o_orderstatus
+""")
+def p5(spark, sf):
+    return (_t(spark, sf, "orders")
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# P8 — string canonicalization (generalFunctions.py:44-56)
+@register("p8_string_canon", """
+SELECT trim(regexp_replace(regexp_replace(lower(p_type), '[^a-z0-9 ]', ' ', 'g'),
+            ' +', ' ', 'g')) AS canon, count(*) AS cnt
+FROM part GROUP BY 1
+""")
+def p8(spark, sf):
+    canon = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("p_type")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    return (_t(spark, sf, "part").select(canon.alias("canon"))
+            .groupBy("canon").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# P9 — numeric string cleaning + cast (construct_index.py:220-229)
+@register("p9_numeric_clean", """
+SELECT CAST(regexp_replace(s_name, '[^0-9]', '', 'g') AS BIGINT) AS snum,
+       round(s_acctbal, 2) AS bal
+FROM supplier
+""")
+def p9(spark, sf):
+    return (_t(spark, sf, "supplier")
+            .select(F.regexp_replace("s_name", "[^0-9]", "")
+                    .cast("bigint").alias("snum"),
+                    F.round("s_acctbal", 2).alias("bal")))
+
+
+# P10/W3 — deterministic cap via TakeOrderedAndProject
+# (retrieve_relevant_values.py:22-33 nlargest)
+@register("p10_topn_cap", """
+SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""")
+def p10(spark, sf):
+    return (_t(spark, sf, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+            .limit(100))
+
+
+# ═══════════════════════════════════════════════════════════════════ joins
+# J1 — broadcast lookup join (the engine's core access path,
+# construct_index.py:128-140 recast)
+@register("j1_broadcast_lookup", """
+SELECT p.p_brand AS brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""")
+def j1(spark, sf):
+    li, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("cnt")))
+
+
+# J5 + W3 — multi-join + top-k (classifier.py:27,46 feature joins, scaled up)
+@register("j5_multijoin_topk", """
+SELECT o.o_orderkey, c.c_mktsegment AS segment,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, c.c_mktsegment
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""")
+def j5(spark, sf):
+    c = _t(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'")
+    o, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey", F.col("c_mktsegment").alias("segment"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10))
+
+
+# J6 — snowflake hash joins (retrieve_relevant_tables.py:138-232 KB probes)
+@register("j6_snowflake_join", """
+SELECT r.r_name AS region, count(*) AS orders_cnt,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def j6(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.count(F.lit(1)).alias("orders_cnt"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+# J7 — semi join (create_feats_labels.py:70-88 exact-schema match)
+@register("j7_semi_join", """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+""")
+def j7(spark, sf):
+    s, li = _t(spark, sf, "supplier"), _t(spark, sf, "lineitem")
+    return (s.join(li.filter("l_quantity > 49"),
+                   s.s_suppkey == li.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+# J8 — left join preserving unmatched (row_acquisitor.py:1087-1089)
+@register("j8_left_join", """
+SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""")
+def j8(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders")))
+
+
+# T6 — anti join (the orphan-sweep primitive; total_evaluate.py:164 inverse)
+@register("anti_join_orphans", """
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+""")
+def anti(spark, sf):
+    p, li = _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+    return (p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+            .select("p_partkey", "p_brand"))
+
+
+# J4/T5 — schema-aligned union merge (row_acquisitor.py:936-960)
+@register("j4_union_merge", """
+SELECT status, count(*) AS cnt, round(sum(price), 2) AS total FROM (
+  SELECT o_orderstatus AS status, o_totalprice AS price FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_orderstatus AS status, o_totalprice AS price FROM orders
+  WHERE o_orderpriority = '5-LOW'
+) GROUP BY status
+""")
+def j4(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = (o.filter("o_orderpriority = '1-URGENT'")
+         .select(F.col("o_orderstatus").alias("status"),
+                 F.col("o_totalprice").alias("price")))
+    b = (o.filter("o_orderpriority = '5-LOW'")
+         .select(F.col("o_orderstatus").alias("status"),
+                 F.col("o_totalprice").alias("price")))
+    return (a.unionByName(b).groupBy("status")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("price"), 2).alias("total")))
+
+
+# J2/W1 — per-key top-k (match_row.py:83-126 heap → window row_number)
+@register("j2_topk_per_key", """
+SELECT l_orderkey, l_linenumber, price, rk FROM (
+  SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price,
+         CAST(row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rk
+  FROM lineitem) WHERE rk <= 2 AND l_orderkey <= 1000
+""")
+def j2(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (li.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter((F.col("rk") <= 2) & (F.col("l_orderkey") <= 1000))
+            .select("l_orderkey", "l_linenumber",
+                    F.round("l_extendedprice", 2).alias("price"), "rk"))
+
+
+# ════════════════════════════════════════════════════════════ aggregations
+# A1 — score-sum aggregation = TPC-H Q1 shape
+# (retrieve_relevant_values.py:88-102)
+@register("a1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def a1(spark, sf):
+    return (_t(spark, sf, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("cnt")))
+
+
+# A3 — column statistics profile (construct_index.py:142-197); skew/kurt
+# via explicit moments so both engines share the formula
+@register("a3_stats_profile", """
+WITH mu AS (SELECT l_returnflag AS flag, avg(l_quantity) AS m
+            FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag AS flag,
+       round(min(l.l_quantity), 2) AS mn,
+       round(max(l.l_quantity), 2) AS mx,
+       round(avg(l.l_quantity), 4) AS mean,
+       round(var_pop(l.l_quantity), 3) AS variance,
+       round(avg(pow(l.l_quantity - mu.m, 3))
+             / pow(avg(pow(l.l_quantity - mu.m, 2)), 1.5), 3) AS skew,
+       count(DISTINCT l.l_quantity) AS n_distinct
+FROM lineitem l JOIN mu ON l.l_returnflag = mu.flag
+GROUP BY l.l_returnflag
+""")
+def a3(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    mu = (li.groupBy(F.col("l_returnflag").alias("flag"))
+          .agg(F.avg("l_quantity").alias("m")))
+    j = li.join(F.broadcast(mu), li.l_returnflag == mu.flag)
+    return (j.groupBy("flag")
+            .agg(F.round(F.min("l_quantity"), 2).alias("mn"),
+                 F.round(F.max("l_quantity"), 2).alias("mx"),
+                 F.round(F.avg("l_quantity"), 4).alias("mean"),
+                 F.round(F.var_pop("l_quantity"), 3).alias("variance"),
+                 F.round(F.avg(F.pow(F.col("l_quantity") - F.col("m"), 3))
+                         / F.pow(F.avg(F.pow(F.col("l_quantity")
+                                             - F.col("m"), 2)), 1.5), 3)
+                 .alias("skew"),
+                 F.countDistinct("l_quantity").alias("n_distinct")))
+
+
+# A4 — distinct count / unique ratio (retrieve_relevant_tables.py:43-58)
+@register("a4_distinct_ratio", """
+SELECT n.n_name AS nation, count(DISTINCT c.c_custkey) AS n_cust,
+       round(count(DISTINCT c.c_mktsegment) * 1.0 / count(*), 6) AS seg_ratio
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def a4(spark, sf):
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.countDistinct("c_custkey").alias("n_cust"),
+                 F.round(F.countDistinct("c_mktsegment")
+                         / F.count(F.lit(1)), 6).alias("seg_ratio")))
+
+
+# A5/A6 — mode per group with deterministic tiebreak
+# (row_acquisitor.py:545-548, :795)
+@register("a5_group_mode", """
+SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderstatus
+             ORDER BY count(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1
+""")
+def a5(spark, sf):
+    o = _t(spark, sf, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("c"), F.asc("o_orderpriority"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("mode_priority")))
+
+
+# A8 — set-overlap ratio (create_feats_labels.py:50-68)
+@register("a8_set_overlap", """
+WITH seg AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer),
+all_seg AS (SELECT count(DISTINCT c_mktsegment) AS total FROM customer)
+SELECT s.c_nationkey AS nationkey,
+       round(count(*) * 1.0 / max(a.total), 6) AS overlap_ratio
+FROM seg s CROSS JOIN all_seg a GROUP BY s.c_nationkey
+""")
+def a8(spark, sf):
+    c = _t(spark, sf, "customer")
+    seg = c.select("c_nationkey", "c_mktsegment").distinct()
+    total = c.agg(F.countDistinct("c_mktsegment").alias("total"))
+    return (seg.crossJoin(F.broadcast(total))
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.round(F.count(F.lit(1)) / F.max("total"), 6)
+                 .alias("overlap_ratio")))
+
+
+# A9 — MinHash signatures, md5-based (construct_index.py:96-100 recast;
+# md5 instead of datasketch so DuckDB can verify bit-for-bit)
+@register("a9_minhash_signature", """
+SELECT doc_id,
+       min(md5('p0:' || tok)) AS mh0, min(md5('p1:' || tok)) AS mh1,
+       min(md5('p2:' || tok)) AS mh2, min(md5('p3:' || tok)) AS mh3
+FROM (SELECT doc_id, unnest(list_distinct(string_split(
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             '\\s+', ' ', 'g')), ' '))) AS tok
+      FROM documents)
+GROUP BY doc_id
+""")
+def a9(spark, sf):
+    from .ops.dedup import tokens
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id",
+                    F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+    return toks.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("tok"))))
+          .alias(f"mh{i}") for i in range(4)])
+
+
+# ═══════════════════════════════════════════════════ windows / sort / rank
+# W2 — rank by aggregated score (retrieve_relevant_values.py:36-48)
+@register("w2_rank_topk", """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(rank() OVER (PARTITION BY o_orderpriority
+              ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders) WHERE rk <= 3
+""")
+def w2(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc(F.round("o_totalprice", 2)), F.asc("o_orderkey"))
+    return (o.withColumn("rk", F.rank().over(w).cast("bigint"))
+            .filter("rk <= 3")
+            .select("o_orderpriority", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"), "rk"))
+
+
+# W7 — label encoding via dense_rank (row_acquisitor.py:689-701)
+@register("w7_label_encode", """
+SELECT c_mktsegment,
+       CAST(dense_rank() OVER (ORDER BY c_mktsegment) AS BIGINT) AS label
+FROM (SELECT DISTINCT c_mktsegment FROM customer)
+""")
+def w7(spark, sf):
+    c = _t(spark, sf, "customer").select("c_mktsegment").distinct()
+    w = Window.orderBy("c_mktsegment")
+    return c.withColumn("label", F.dense_rank().over(w).cast("bigint"))
+
+
+# W6-analog — lag/lead adjacency (our engine's turn-context windows)
+@register("w6_lag_delta", """
+SELECT event_type, round(avg(delta), 4) AS avg_delta, count(*) AS cnt FROM (
+  SELECT event_type,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS delta
+  FROM events) WHERE delta IS NOT NULL
+GROUP BY event_type
+""")
+def w6(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("delta", F.col("value") - F.lag("value").over(w))
+            .filter("delta is not null")
+            .groupBy("event_type")
+            .agg(F.round(F.avg("delta"), 4).alias("avg_delta"),
+                 F.count(F.lit(1)).alias("cnt")))
+
+
+# ══════════════════════════════════════════════════════════════════ set ops
+# T4 — dedup (match_row.py:28)
+@register("t4_dedup", """
+SELECT l_returnflag, count(*) AS uniq_orders FROM (
+  SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)
+GROUP BY l_returnflag
+""")
+def t4(spark, sf):
+    return (_t(spark, sf, "lineitem")
+            .select("l_returnflag", "l_orderkey").distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("uniq_orders")))
+
+
+# T6 — except (total_evaluate.py:164)
+@register("t6_except", """
+SELECT n_nationkey FROM nation
+WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+  AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+""")
+def t6(spark, sf):
+    n = _t(spark, sf, "nation").select("n_nationkey")
+    c = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey"))
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey"))
+    return (n.join(c, "n_nationkey", "left_semi")
+            .join(s, "n_nationkey", "left_anti"))
+
+
+# ═══════════════════════════════ flagship: impute-MERGE recast over events
+# The MERGE-impute semantics expressed relationally (so DuckDB can verify):
+# cells masked by a deterministic md5 rule are recovered from the
+# per-(user, event_type) mean of surviving cells — the reference's
+# mean-imputation baseline (fill_missing_values.py:48-60) at SQL grain.
+@register("impute_mean_merge", """
+WITH masked AS (
+  SELECT event_id, user_id, event_type, value,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' AS is_masked
+  FROM events),
+stats AS (
+  SELECT user_id, event_type, avg(value) AS mean_val
+  FROM masked WHERE NOT is_masked GROUP BY user_id, event_type)
+SELECT m.event_id,
+       round(CASE WHEN m.is_masked THEN coalesce(s.mean_val, 0.0)
+                  ELSE m.value END, 4) AS final_value,
+       m.is_masked
+FROM masked m LEFT JOIN stats s
+  ON m.user_id = s.user_id AND m.event_type = s.event_type
+""")
+def impute_mean(spark, sf):
+    e = _t(spark, sf, "events")
+    masked = e.select(
+        "event_id", "user_id", "event_type", "value",
+        (F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0")
+        .alias("is_masked"))
+    stats = (masked.filter(~F.col("is_masked"))
+             .groupBy("user_id", "event_type")
+             .agg(F.avg("value").alias("mean_val")))
+    return (masked.join(stats, ["user_id", "event_type"], "left")
+            .select("event_id",
+                    F.round(F.when(F.col("is_masked"),
+                                   F.coalesce(F.col("mean_val"), F.lit(0.0)))
+                            .otherwise(F.col("value")), 4)
+                    .alias("final_value"),
+                    "is_masked"))

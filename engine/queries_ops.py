@@ -1,0 +1,264 @@
+"""Driver-contract entries for the training-data ops (dedup, similarity,
+text analysis, multimodal plumbing) — registered into engine.queries.
+
+Oracle-less entries (driver records a rows-only check): simhash blocks and
+LSH ANN (seeded-hyperplane UDFs have no SQL equivalent), winnowing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), "
+             "'[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))")
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+# ── exact dedup (hash groupBy) ──────────────────────────────────────────────
+@register("dedup_exact", f"""
+SELECT md5({_NORM_SQL}) AS text_hash, min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+""")
+def dedup_exact(spark, sf):
+    from .ops.dedup import exact_dedup
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+# ── n-gram (token) Jaccard near-dup pairs ───────────────────────────────────
+@register("dedup_token_jaccard", f"""
+WITH grams AS (
+  SELECT doc_id AS id, unnest(list_distinct({_TOKS_SQL})) AS g
+  FROM documents),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT i.id_a, i.id_b,
+       round(i.common * 1.0 / (sa.sz + sb.sz - i.common), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.id
+             JOIN sizes sb ON i.id_b = sb.id
+WHERE i.common * 1.0 / (sa.sz + sb.sz - i.common) >= 0.8
+""")
+def dedup_jaccard(spark, sf):
+    from .ops.dedup import token_jaccard_pairs
+    return token_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
+
+
+# ── MinHash + LSH banding near-dup (verified candidates) ────────────────────
+def _minhash_sql(num_perm: int = 16) -> str:
+    mins = ",\n       ".join(
+        f"min(md5('p{i}:' || tok)) AS mh{i}" for i in range(num_perm))
+    return f"""
+  SELECT id, {mins}
+  FROM (SELECT doc_id AS id, unnest(list_distinct({_TOKS_SQL})) AS tok
+        FROM documents)
+  GROUP BY id"""
+
+
+def _lsh_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_perm // bands
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{i}"
+                                    for i in range(b * rows, (b + 1) * rows))
+        + f") AS bucket_{b}" for b in range(bands))
+    union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, bucket_{b} AS bucket FROM bands"
+        for b in range(bands))
+    return f"""
+WITH sigs AS ({_minhash_sql(num_perm)}),
+bands AS (SELECT id, {band_exprs} FROM sigs),
+buckets AS ({union}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+grams AS (SELECT doc_id AS id, unnest(list_distinct({_TOKS_SQL})) AS g
+          FROM documents),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+          GROUP BY a.id, b.id)
+SELECT c.id_a, c.id_b,
+       round(i.common * 1.0 / (sa.sz + sb.sz - i.common), 6) AS jaccard
+FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON c.id_a = sa.id JOIN sizes sb ON c.id_b = sb.id
+WHERE i.common * 1.0 / (sa.sz + sb.sz - i.common) >= {threshold}"""
+
+
+@register("dedup_minhash_lsh", _lsh_sql(16, 4, 0.9))
+def dedup_lsh(spark, sf):
+    from .ops.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), num_perm=16,
+                             bands=4, threshold=0.9)
+
+
+# ── SimHash blocking (Spark-only: vectorized-numpy signature) ───────────────
+@register("dedup_simhash")
+def dedup_simhash(spark, sf):
+    from .ops.dedup import simhash_dedup
+    return simhash_dedup(_t(spark, sf, "documents"))
+
+
+# ── embedding-cosine near-dup pairs ─────────────────────────────────────────
+@register("dedup_embedding_cosine", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+""")
+def dedup_embedding(spark, sf):
+    from .ops.dedup import embedding_neardup_pairs
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    return embedding_neardup_pairs(emb, threshold=0.5)
+
+
+# ── brute-force cosine top-k (ANN baseline) ─────────────────────────────────
+@register("sim_bruteforce_topk", """
+SELECT query_id, neighbor_id, cosine, rk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+           AS cosine,
+         CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(
+                          CAST(q.embedding AS DOUBLE[]),
+                          CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                       c.vec_id) AS BIGINT) AS rk
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 8)
+WHERE rk <= 5
+""")
+def sim_bf(spark, sf):
+    from .ops.similarity import brute_force_topk
+    # float32 arrays upcast to double so Spark and the oracle agree at 6 dp
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    out = brute_force_topk(emb.filter("vec_id < 8"), emb, k=5)
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+# ── LSH ANN top-k (Spark-only: seeded hyperplanes) ──────────────────────────
+@register("sim_lsh_topk")
+def sim_lsh(spark, sf):
+    from .ops.similarity import lsh_topk
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    out = lsh_topk(emb.filter("vec_id < 8"), emb, k=5, dim=dim, tables=4)
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+# ── text quality features ───────────────────────────────────────────────────
+@register("text_quality", f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter({_TOKS_SQL},
+                 t -> t IN ('the','and','of','to','in','is','that','for',
+                            'with','on'))) * 1.0
+             / greatest(len({_TOKS_SQL}), 1), 6) AS stop_ratio
+FROM documents
+""")
+def text_quality(spark, sf):
+    from .ops.textstats import quality_features
+    q = quality_features(_t(spark, sf, "documents"))
+    return q.select("doc_id",
+                    F.col("n_chars_q").cast("bigint").alias("n_chars_q"),
+                    "punct_ratio", "stop_ratio")
+
+
+# ── language ID (stopword-hit argmax, tie → lang desc) ──────────────────────
+def _langid_sql() -> str:
+    from .ops.textstats import STOPWORDS
+    hit_cols = []
+    for lang, words in sorted(STOPWORDS.items()):
+        inlist = ",".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"len(list_filter({_TOKS_SQL}, t -> t IN ({inlist}))) AS h_{lang}")
+    hits = ", ".join(hit_cols)
+    langs = sorted(STOPWORDS)
+    best_hits = "greatest(" + ", ".join(f"h_{x}" for x in langs) + ")"
+    # tie broken by language name DESC (matches reverse(array_sort(...))[0])
+    pick = "CASE " + " ".join(
+        f"WHEN h_{x} = best THEN '{x}'" for x in sorted(langs, reverse=True)
+    ) + " END"
+    return f"""
+WITH h AS (SELECT doc_id, {hits} FROM documents),
+b AS (SELECT doc_id, {best_hits} AS best,
+             h_de, h_en, h_es, h_fr FROM h)
+SELECT doc_id,
+       CASE WHEN best > 0 THEN {pick} ELSE 'unknown' END AS lang_pred,
+       CAST(best AS BIGINT) AS lang_hits
+FROM b"""
+
+
+@register("text_langid", _langid_sql())
+def text_langid(spark, sf):
+    from .ops.textstats import lang_id
+    out = lang_id(_t(spark, sf, "documents"))
+    return out.select("doc_id", "lang_pred",
+                      F.col("lang_hits").cast("bigint").alias("lang_hits"))
+
+
+# ── token counting ──────────────────────────────────────────────────────────
+@register("text_token_count", f"""
+SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+FROM documents
+""")
+def text_tokens(spark, sf):
+    from .ops.textstats import token_count
+    return (_t(spark, sf, "documents")
+            .select("doc_id",
+                    token_count("text").cast("bigint").alias("n_tokens")))
+
+
+# ── document fingerprint (md5 of normalized text) ───────────────────────────
+@register("text_fingerprint", f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+""")
+def text_fp(spark, sf):
+    from .ops.textstats import fingerprint
+    return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fp")
+
+
+# ── winnowing fingerprint (Spark-only: vectorized rolling hash) ─────────────
+@register("text_winnow_fingerprint")
+def text_winnow(spark, sf):
+    from .ops.textstats import winnow_fingerprint
+    return winnow_fingerprint(_t(spark, sf, "documents")) \
+        .select("doc_id", "winnow_fp")
+
+
+# ── multimodal metadata projection (binary column never shuffled) ───────────
+@register("multimodal_metadata", """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+""")
+def mm_meta(spark, sf):
+    from .ops.multimodal import media_metadata, synthesize_media
+    media = synthesize_media(_t(spark, sf, "documents"))
+    return (media_metadata(media)
+            .select("media_id", "kind",
+                    F.col("n_bytes").cast("bigint").alias("n_bytes"),
+                    "digest"))
+
+
+# ── multimodal feature extraction (Spark-only: mapInPandas + stub codec) ────
+@register("multimodal_features")
+def mm_features(spark, sf):
+    from .ops.multimodal import extract_features, synthesize_media
+    media = synthesize_media(_t(spark, sf, "documents"))
+    return extract_features(media, dim=8).drop("feature") \
+        .withColumn("n_bytes", F.col("n_bytes").cast("bigint"))
