@@ -301,9 +301,15 @@ class Table:
         return name
 
     def register_staged_files(self, staged_paths: list[str]) -> list[DataFile]:
-        """Move already-written parquet files into data/ and stat them."""
-        out = []
-        for p in staged_paths:
+        """Move already-written parquet files into data/ and stat them.
+
+        Footer stats are read concurrently (pyarrow parses metadata in C++
+        and releases the GIL): a serial loop here was the dominant *driver*
+        cost of every write at high parallelism — O(files) × ~50 ms of dead
+        time that no executor count can hide."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(p: str) -> DataFile:
             name = f"part-{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self.data_dir, name)
             # same filesystem in this sandbox; rename is atomic & cheap
@@ -312,8 +318,12 @@ class Table:
             except OSError:
                 shutil.move(p, dst)
             rows, size, stats = collect_parquet_stats(dst)
-            out.append(DataFile(os.path.join("data", name), rows, size, stats))
-        return out
+            return DataFile(os.path.join("data", name), rows, size, stats)
+
+        if len(staged_paths) <= 1:
+            return [one(p) for p in staged_paths]
+        with ThreadPoolExecutor(max_workers=min(16, len(staged_paths))) as ex:
+            return list(ex.map(one, staged_paths))
 
     def commit(self, operation: str, added: list[DataFile],
                removed_paths: set[str] | None = None,

@@ -39,15 +39,24 @@ TOPK = 3  # reference keeps top-3 similar tuples (retrieve_relevant_values.py:20
 
 def _with_context(df: DataFrame) -> DataFrame:
     """lag/lead context per conversation under stable (conv_id, turn_idx)
-    ordering. Window partitions are bounded by conversation length (≤ ~1e5
-    turns even for hot conversations), so no salting is needed here; the
-    shuffle key is conv_id and AQE splits oversized partitions."""
+    ordering — ONE window sort produces every context column (all functions
+    share the frame, so Catalyst evaluates them in a single Window exec).
+    Window partitions are bounded by conversation length (≤ ~1e5 turns even
+    for hot conversations), so no salting is needed here; the shuffle key is
+    conv_id and AQE splits oversized partitions.
+
+    Callers that consume the context more than once (index build + update
+    plan) should persist the result: Catalyst does NOT share a common
+    subtree across union/join branches, and this pipeline is the single
+    widest shuffle of the merge pass."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return (df
             .withColumn("prev_role", F.lag("role").over(w))
             .withColumn("next_role", F.lead("role").over(w))
-            .withColumn("prev_text_sig", F.md5(F.lag("text").over(w)))
-            .withColumn("next_text_sig", F.md5(F.lead("text").over(w))))
+            .withColumn("prev_text", F.lag("text").over(w))
+            .withColumn("next_text", F.lead("text").over(w))
+            .withColumn("prev_text_sig", F.md5(F.col("prev_text")))
+            .withColumn("next_text_sig", F.md5(F.col("next_text"))))
 
 
 def role_key_col():
@@ -90,36 +99,57 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
             .filter(F.col("rank") <= k))
 
 
-def build_candidate_index(df: DataFrame, k: int = TOPK) -> DataFrame:
+def key_families():
+    """The six (family, key, candidate-with-guard) triples. The 'role_text'
+    family pins role by the row's own text — tuple similarity on a second
+    mapped column, like the reference probing every related column
+    (retrieve_relevant_tables.py:430-474)."""
+    text_ok = F.col("text").isNotNull()
+    turn_mod = F.pmod(F.col("turn_idx"), F.lit(12)).cast("string")
+    return {
+        "role": (role_key_col(), F.col("role")),
+        "role_text": (tool_key_col(), F.when(text_ok, F.col("role"))),
+        "tool": (tool_key_col(), F.when(text_ok, F.col("tool"))),
+        "text": (text_key_col(), F.col("text")),
+        "text_prev": (text_prev_key_col(), F.col("text")),
+        "text_next": (text_next_key_col(), F.col("text")),
+        # estimation fallbacks as two more families (global per-slot mode —
+        # the reference's mean/mode initial guess, row_acquisitor.py:545-548)
+        # so they ride the SAME explode/agg/top-k instead of dedicated
+        # pipelines + broadcasts
+        "role_fb": (turn_mod, F.col("role")),
+        "tool_fb": (turn_mod, F.col("tool")),
+    }
+
+
+def build_candidate_index(df: DataFrame, k: int = TOPK,
+                          ctx: DataFrame | None = None,
+                          probe_keys: DataFrame | None = None) -> DataFrame:
     """One job: context windows → per-column (key, candidate) support counts →
-    per-key top-k. Output is small relative to the data (distinct contexts),
-    written once and broadcast at merge time — if it ever outgrows the
-    broadcast threshold the merge join degrades gracefully to a shuffled hash
-    join on ``key`` (AQE decides)."""
-    ctx = _with_context(df)
+    per-key top-k. All key families are emitted by a SINGLE explode over one
+    context pass (a per-family union would re-run the window pipeline per
+    branch — Catalyst has no cross-branch subtree reuse).
 
-    def pairs_of(name: str, key_col, value: str,
-                 extra_filter=None):
-        p = ctx.filter(F.col(value).isNotNull())
-        if extra_filter is not None:
-            p = p.filter(extra_filter)
-        return p.select(F.lit(name).alias("column_name"),
-                        key_col.alias("key"),
-                        F.col(value).alias("candidate"))
-
-    pairs = (
-        pairs_of("role", role_key_col(), "role")
-        # role is also pinned by the row's own text (tuple similarity on a
-        # second mapped column, like the reference probing every related
-        # column — retrieve_relevant_tables.py:430-474)
-        .unionByName(pairs_of("role_text", tool_key_col(), "role",
-                              F.col("text").isNotNull()))
-        .unionByName(pairs_of("tool", tool_key_col(), "tool",
-                              F.col("text").isNotNull()))
-        .unionByName(pairs_of("text", text_key_col(), "text"))
-        .unionByName(pairs_of("text_prev", text_prev_key_col(), "text"))
-        .unionByName(pairs_of("text_next", text_next_key_col(), "text"))
-    )
+    ``probe_keys`` (columns: column_name, key) prunes the build to keys that
+    will actually be looked up: the explode still scans every donor row, but
+    the shuffle/aggregate behind it shrinks from O(rows × families) to
+    O(matching pairs) — at a 1% missing-cell rate that is ~99% less shuffle.
+    This is the merge-pass mode (CESID's *online* search probes only the
+    missing cells' contexts, retrieve_relevant_values.py:133-231); omit it to
+    materialize the full offline index table."""
+    if ctx is None:
+        ctx = _with_context(df)
+    fams = F.array(*[
+        F.struct(F.lit(name).alias("column_name"),
+                 key.alias("key"), cand.alias("candidate"))
+        for name, (key, cand) in key_families().items()])
+    pairs = (ctx.select(F.explode(fams).alias("f"))
+             .select("f.column_name", "f.key", "f.candidate")
+             .filter(F.col("candidate").isNotNull()
+                     & F.col("key").isNotNull()))
+    if probe_keys is not None:
+        pairs = pairs.join(F.broadcast(probe_keys), ["column_name", "key"],
+                           "left_semi")
     scored = (pairs.groupBy("column_name", "key", "candidate")
               .agg(F.count(F.lit(1)).cast("double").alias("score")))
     return _topk(scored, k)

@@ -126,7 +126,13 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
     entries = table.manifest_entries()
     in_paths = [e.path for e in entries]
     total_bytes = sum(e.file_size_bytes for e in entries)
+    # never let the rewrite collapse to a 1-task sort on small tables — but
+    # keep the floor a function of DATA SIZE, not core count: workload shape
+    # must be identical at every parallelism level or N-vs-4N comparisons
+    # (and cross-run determinism) are meaningless
     num_files = max(1, round(total_bytes / target_bytes))
+    if total_bytes > (1 << 20):
+        num_files = max(num_files, 16)
 
     rec = ckpt.get("rewrite")
     if rec is not None:
@@ -242,17 +248,27 @@ def run_maintenance(spark: SparkSession, table: Table,
                     strategy: str = "zorder",
                     keep_last: int = 2,
                     grace_seconds: float = 0.0,
-                    pass_id: str | None = None) -> dict:
+                    pass_id: str | None = None,
+                    separate_compaction: bool = True) -> dict:
     """The full pass benchmarked in bench.py: impute-MERGE → compact →
-    cluster → rewrite manifests → expire snapshots → orphan sweep."""
+    cluster → rewrite manifests → expire snapshots → orphan sweep.
+
+    ``separate_compaction=False`` lets the clustering rewrite subsume
+    bin-packing (its range partitioner already packs to ``target_bytes``):
+    one full-data rewrite instead of two. A real deployment runs compaction
+    on its own cadence (cheap, incremental) and clustering rarely (full
+    rewrite); a single maintenance pass that does both should not pay twice.
+    """
     from .merge import impute_merge
     pass_id = pass_id or uuid.uuid4().hex[:8]
     out: dict = {"pass_id": pass_id}
     t0 = time.time()
-    impute_merge(spark, table, pass_id=f"{pass_id}-merge")
+    impute_merge(spark, table, pass_id=f"{pass_id}-merge",
+                 target_bytes=target_bytes)
     out["merge_s"] = round(time.time() - t0, 3)
     t0 = time.time()
-    compact(spark, table, target_bytes, pass_id=f"{pass_id}-compact")
+    if separate_compaction:
+        compact(spark, table, target_bytes, pass_id=f"{pass_id}-compact")
     out["compact_s"] = round(time.time() - t0, 3)
     t0 = time.time()
     cluster(spark, table, strategy, target_bytes,

@@ -26,9 +26,7 @@ from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointLog, TaskRecord
 from .format import DataFile, Snapshot, Table, collect_parquet_stats
-from .index import (_with_context, build_candidate_index, fallback_stats,
-                    role_key_col, text_key_col, text_next_key_col,
-                    text_prev_key_col, tool_key_col)
+from .index import _with_context, build_candidate_index, key_families
 from .scan import Predicate, prune_files, scan
 from .write import stage_dataframe
 
@@ -37,8 +35,28 @@ _MAX_IN_SET = 100_000  # above this, fall back to min/max range pruning
 
 
 # --------------------------------------------------------------------- impute
+def worklist(ctx: DataFrame) -> DataFrame:
+    """Rows with a missing role/tool/text cell — the analog of the
+    reference's ``missing_tab_row_col.csv`` worklist."""
+    w = ctx.filter(F.col("role").isNull() | F.col("text").isNull()
+                   | (F.col("tool").isNull() & (F.col("role") == "tool")))
+    return w.withColumn("turn_mod", F.pmod(F.col("turn_idx"), F.lit(12)))
+
+
+def melt_cells(work: DataFrame) -> DataFrame:
+    """Worklist at cell grain: (conv_id, turn_idx, column_name, key) — one
+    row per (missing cell, key family) probe."""
+    keyed = {name: key for name, (key, _) in key_families().items()}
+    melt = F.explode(F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keyed]),
+        F.array(*keyed.values())))
+    return work.select("conv_id", "turn_idx", melt.alias("column_name", "key"))
+
+
 def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
-                        fallbacks: DataFrame) -> DataFrame:
+                        fallbacks: DataFrame | None = None,
+                        ctx: DataFrame | None = None,
+                        work: DataFrame | None = None) -> DataFrame:
     """Worklist = rows with a missing role/tool/text cell (the analog of
     ``missing_tab_row_col.csv``); output = updates keyed (conv_id, turn_idx)
     with ``upd_*`` values and ``src_*`` provenance tags
@@ -46,35 +64,35 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     ``codes/evaluate/total_evaluate.py:159-174``).
 
     All joins broadcast the small side; the only wide shuffle is the context
-    window over conv_id, shared with the index build."""
-    ctx = _with_context(df).withColumn(
-        "prev_text", F.lag("text").over(
-            Window.partitionBy("conv_id").orderBy("turn_idx"))
-    ).withColumn(
-        "next_text", F.lead("text").over(
-            Window.partitionBy("conv_id").orderBy("turn_idx")))
+    window over conv_id, shared (via the persisted ``ctx``) with the index
+    build."""
+    if ctx is None:
+        ctx = _with_context(df)
 
-    work = ctx.filter(F.col("role").isNull() | F.col("text").isNull()
-                      | (F.col("tool").isNull()
-                         & (F.col("role") == "tool")))
-    work = work.withColumn("turn_mod", F.pmod(F.col("turn_idx"), F.lit(12)))
+    _ = fallbacks  # retained for API compat; fallbacks are index families now
+    if work is None:
+        # the worklist (~1% of rows) feeds two join branches below (melted
+        # cells and the wide row) — persist it so the conv-window pipeline
+        # over the full table runs ONCE, not once per branch
+        work = worklist(ctx).persist()
 
-    def idx_for(colname: str) -> DataFrame:
-        return (cand_idx.filter((F.col("column_name") == colname)
-                                & (F.col("rank") == 1))
-                .select(F.col("key"),
-                        F.col("candidate").alias(f"cand_{colname}")))
-
-    keyed = {"role": role_key_col(), "role_text": tool_key_col(),
-             "tool": tool_key_col(), "text": text_key_col(),
-             "text_prev": text_prev_key_col(),
-             "text_next": text_next_key_col()}
-    for name, key_col in keyed.items():
-        work = work.withColumn(f"{name}_key", key_col)
-        work = (work.join(F.broadcast(idx_for(name)),
-                          work[f"{name}_key"] == F.col("key"), "left")
-                .drop("key"))
-    work = work.join(F.broadcast(fallbacks), "turn_mod", "left")
+    # ONE broadcast join for all key families: the worklist at cell grain
+    # (column_name, key) joins the index once and pivots back. Per-family
+    # broadcast joins would schedule one build-side job each — pure serial
+    # stage latency at any scale (the reference pays the same shape of cost
+    # probing its per-dtype indexes one by one, construct_index.py:284-313).
+    keyed = list(key_families())
+    cells = melt_cells(work)
+    hits = (cells.join(F.broadcast(
+                cand_idx.filter(F.col("rank") == 1)
+                .select("column_name", "key", "candidate")),
+            ["column_name", "key"], "inner")
+            .groupBy("conv_id", "turn_idx")
+            .pivot("column_name", keyed)
+            .agg(F.first("candidate")))
+    for k in keyed:
+        hits = hits.withColumnRenamed(k, f"cand_{k}")
+    work = work.join(hits, ["conv_id", "turn_idx"], "left")
     # candidate preference: the tool→role functional dependency (a non-null
     # tool cell implies role='tool' — the static FD the reference would mine
     # with Metanome, codes/fd_tools/generate_fds.py:62-72) beats the own-text
@@ -91,10 +109,10 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
                                    F.col("cand_text_prev"),
                                    F.col("cand_text_next"))))
 
-    est_role = F.coalesce(F.col("role_mode"), F.lit("assistant"))
+    est_role = F.coalesce(F.col("cand_role_fb"), F.lit("assistant"))
     # a turn needs a tool value only if its (possibly imputed) role is 'tool'
     eff_role = F.coalesce(F.col("role"), F.col("cand_role"), est_role)
-    est_tool = F.coalesce(F.col("tool_mode"), F.lit("search"))
+    est_tool = F.coalesce(F.col("cand_tool_fb"), F.lit("search"))
     # nearest-turn copy is the text estimation fallback (FIXTURES.md §6)
     est_text = F.coalesce(F.col("prev_text"), F.col("next_text"),
                           F.lit("[unrecoverable]"))
@@ -141,7 +159,8 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                update_map: dict[str, str],
                pass_id: str | None = None,
                broadcast_source: bool = True,
-               num_files: int | None = None) -> Snapshot:
+               num_files: int | None = None,
+               target_bytes: int = 128 * 1024 * 1024) -> Snapshot:
     """MERGE INTO table USING source ON (conv_id, turn_idx)
     WHEN MATCHED THEN UPDATE SET col = coalesce(source.upd_col, col).
 
@@ -158,6 +177,12 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     ckpt = CheckpointLog(table.root, pass_id, "merge")
     if ckpt.pass_committed():
         return table.current_snapshot()
+
+    # the source pipeline (index build → keyed joins → updates) is consumed
+    # up to 4× below (predicate collect, broadcast, range sampling, write);
+    # without persisting it every consumer re-runs the whole DAG — the
+    # single biggest serial cost in the maintenance pass
+    source = source.persist()
 
     snap = table.current_snapshot()
     entries = table.manifest_entries(snap)
@@ -190,8 +215,17 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             else:
                 out_cols.append(F.col(c))
         out = joined.select(*out_cols)
-        nf = num_files or max(1, len(affected))
-        staged = stage_dataframe(table, out, num_files=nf,
+        # Output file count derives from DATA SIZE (not core count, not scan
+        # partitioning — both vary with parallelism and would make the
+        # rewrite non-deterministic across cluster sizes). The explicit
+        # range exchange costs one sampling pass but keeps every output
+        # file's (conv_id, turn_idx) span tight for manifest pruning.
+        if num_files is None:
+            in_bytes = sum(e.file_size_bytes for e in affected)
+            num_files = max(1, round(in_bytes / target_bytes))
+            if in_bytes > (1 << 20):
+                num_files = max(num_files, 16)
+        staged = stage_dataframe(table, out, num_files=num_files,
                                  range_cols=list(MERGE_KEYS),
                                  sort_cols=list(MERGE_KEYS))
         rows = sum(e.record_count for e in staged)
@@ -209,24 +243,46 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                             removed_paths=set(affected_paths),
                             summary={"pass_id": pass_id})
     ckpt.finalize({"snapshot_id": new_snap.snapshot_id})
+    source.unpersist()
     return new_snap
 
 
 def impute_merge(spark: SparkSession, table: Table,
                  pass_id: str | None = None,
-                 cand_idx: DataFrame | None = None) -> Snapshot:
+                 cand_idx: DataFrame | None = None,
+                 target_bytes: int = 128 * 1024 * 1024) -> Snapshot:
     """The flagship maintenance stage: scan → candidate index → planned
     updates → copy-on-write MERGE. One wide shuffle (conv windows), one
     broadcast join per imputed column, one CoW rewrite."""
     df = scan(spark, table)
+    # ONE materialization of the wide conv-window pipeline, shared by the
+    # index build and the update plan (Catalyst has no cross-branch subtree
+    # reuse; without this the windows run 2-6×). MEMORY_AND_DISK: at real
+    # scale the context spills instead of recomputing — both are fine, the
+    # knob exists for the cluster profile.
+    from pyspark import StorageLevel
+    ctx = _with_context(df).persist(StorageLevel.MEMORY_AND_DISK)
+    work = worklist(ctx).persist()
     if cand_idx is None:
-        cand_idx = build_candidate_index(df)
-    fb = fallback_stats(df)
-    updates = plan_impute_updates(df, cand_idx, fb)
+        # full index build: map-side partial aggregation already collapses
+        # the exploded pairs before the shuffle, so the probe_keys pruning
+        # mode (see build_candidate_index) measured SLOWER here — it adds a
+        # worklist materialization barrier for shuffle the combiner had
+        # already eliminated. Revisit only if key cardinality ever rivals
+        # row count.
+        cand_idx = build_candidate_index(df, ctx=ctx)
+    # the broadcast build side materializes as a separate job — persist so
+    # the index pipeline runs once, not once per consumer
+    cand_idx = cand_idx.persist()
+    updates = plan_impute_updates(df, cand_idx, ctx=ctx, work=work)
     update_map = {"role": "upd_role", "tool": "upd_tool", "text": "upd_text"}
     src = updates.select("conv_id", "turn_idx",
                          "upd_role", "upd_tool", "upd_text")
-    return merge_into(spark, table, src, update_map, pass_id=pass_id)
+    snap = merge_into(spark, table, src, update_map, pass_id=pass_id,
+                      target_bytes=target_bytes)
+    for frame in (cand_idx, work, ctx):
+        frame.unpersist()
+    return snap
 
 
 def evaluate_impute(imputed: DataFrame, worklist: DataFrame,

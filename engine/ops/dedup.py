@@ -136,11 +136,30 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())
-    exact = token_jaccard_pairs(docs, threshold=0.0, id_col=id_col,
-                                text_col=text_col)
-    return (cand.join(exact, ["id_a", "id_b"], "inner")
+    # exact verification restricted to CANDIDATES only (the whole point of
+    # LSH: never touch the full pair space). Intersection = candidate ⨝
+    # grams(a) ⨝ grams(b on same gram) — cost |cand| × avg tokens, not
+    # |all token-sharing pairs|.
+    grams = docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.array_distinct(tokens(text_col)))
+                        .alias("g"))
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ga = grams.select(F.col("id").alias("id_a"), "g")
+    gb = grams.select(F.col("id").alias("id_b"), "g")
+    inter = (cand.join(ga, "id_a")            # pair × tokens of a
+             .join(gb, ["id_b", "g"])         # equi-join on (id_b, gram)
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("common")))
+    return (inter
+            .join(sizes.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("sz", "sz_b"), "id_b")
+            .withColumn("jaccard",
+                        F.col("common")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
 # ------------------------------------------------------------------ simhash

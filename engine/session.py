@@ -70,6 +70,12 @@ def get_spark(app: str = "transcript-lakehouse",
          .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
          .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+         .config("spark.ui.showConsoleProgress", "false")
+         # task-side commit (v2): v1's commitJob renames every output file
+         # serially on the driver — O(files) dead time per write stage that
+         # dominates small-file-heavy maintenance passes
+         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                 "2")
          .config("spark.ui.enabled", "false"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -46,6 +46,25 @@ def test_hilbert_large_order_bijective_sample():
     assert (d >= 0).all()
 
 
+def test_sql_morton_matches_numpy(spark):
+    """The codegen'd SQL bit-spread must agree with the numpy reference."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from engine.layout import _spread_bits_sql
+    rng = np.random.RandomState(3)
+    xs = rng.randint(0, 1 << 31, 500).astype(np.uint64)
+    ys = rng.randint(0, 1 << 31, 500).astype(np.uint64)
+    want = morton_interleave(xs, ys).tolist()
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], ["x", "y"])
+    got = [r["m"] for r in df.select(
+        _spread_bits_sql(F.col("x"))
+        .bitwiseOR(F.shiftleft(_spread_bits_sql(F.col("y")), 1))
+        .alias("m")).collect()]
+    assert got == want
+
+
 def test_morton_preserves_prefix_locality():
     # points in the same 2^k-aligned tile share the morton prefix
     x = np.array([5, 6], dtype=np.uint64)      # tile [4,8)
