@@ -83,6 +83,9 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     # probing its per-dtype indexes one by one, construct_index.py:284-313).
     keyed = list(key_families())
     cells = melt_cells(work)
+    # broadcast measured faster than a shuffle-hash hint here (the persisted
+    # index serializes once); at 100 TB the index is GBs — drop the explicit
+    # broadcast there and let AQE pick the join side
     hits = (cells.join(F.broadcast(
                 cand_idx.filter(F.col("rank") == 1)
                 .select("column_name", "key", "candidate")),
@@ -261,7 +264,12 @@ def impute_merge(spark: SparkSession, table: Table,
     # scale the context spills instead of recomputing — both are fine, the
     # knob exists for the cluster profile.
     from pyspark import StorageLevel
-    ctx = _with_context(df).persist(StorageLevel.MEMORY_AND_DISK)
+    _ = StorageLevel  # ctx caching toggle below
+    import os as _os
+    if _os.environ.get("ENGINE_CTX_CACHE", "1") == "1":
+        ctx = _with_context(df).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        ctx = _with_context(df)
     work = worklist(ctx).persist()
     if cand_idx is None:
         # full index build: map-side partial aggregation already collapses

@@ -114,11 +114,18 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 16,
 def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
                       threshold: float = 0.5,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_bucket: int | None = 64) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band bucket become candidate
     pairs; candidates are verified with exact token Jaccard. This is the
     reference's LSH-Ensemble probe (``construct_index.py:128-140``) recast as
-    two equi-joins — index build and query collapse into one self-join."""
+    two equi-joins — index build and query collapse into one self-join.
+
+    ``max_bucket`` drops degenerate buckets (> that many members): a bucket
+    of b docs yields b² candidate pairs, so one hot bucket of boilerplate
+    dwarfs everything else — the classic LSH skew. True near-dups inside a
+    dropped bucket are still found through their other (more selective)
+    bands. Set None to disable (exact candidate recall)."""
     rows = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, id_col, text_col)
     band_cols = []
@@ -129,6 +136,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
                                   .alias("bucket")))
     buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")) \
                   .select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        small = (buckets.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") <= max_bucket)
+                 .drop("__n"))
+        buckets = buckets.join(small, ["band", "bucket"], "left_semi")
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))

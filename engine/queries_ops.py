@@ -59,7 +59,8 @@ def _minhash_sql(num_perm: int = 16) -> str:
   GROUP BY id"""
 
 
-def _lsh_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _lsh_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.5,
+             max_bucket: int = 64) -> str:
     rows = num_perm // bands
     band_exprs = ", ".join(
         "md5(" + " || '|' || ".join(f"mh{i}"
@@ -71,7 +72,11 @@ def _lsh_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     return f"""
 WITH sigs AS ({_minhash_sql(num_perm)}),
 bands AS (SELECT id, {band_exprs} FROM sigs),
-buckets AS ({union}),
+buckets0 AS ({union}),
+kept AS (SELECT band, bucket FROM buckets0
+         GROUP BY band, bucket HAVING count(*) <= {max_bucket}),
+buckets AS (SELECT b.* FROM buckets0 b
+            JOIN kept k ON b.band = k.band AND b.bucket = k.bucket),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM buckets a JOIN buckets b

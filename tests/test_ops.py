@@ -38,13 +38,24 @@ def test_token_jaccard_self_similarity(spark):
 
 
 def test_minhash_lsh_finds_exact_dups_and_agrees_with_jaccard(spark, docs):
-    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    # cap disabled: this corpus is one giant near-dup cluster, exactly the
+    # degenerate-bucket shape the cap exists to drop
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.9, max_bucket=None)
     exact = dedup.token_jaccard_pairs(docs, threshold=0.9)
     # LSH candidates are verified with exact jaccard → subset of exact pairs
     assert lsh.join(exact, ["id_a", "id_b"], "left_anti").count() == 0
     # recall at 0.9 should be high for 16 perms / 4 bands
     n_exact, n_lsh = exact.count(), lsh.count()
     assert n_lsh >= 0.7 * n_exact
+
+
+def test_minhash_lsh_bucket_cap_bounds_candidates(spark, docs):
+    capped = dedup.minhash_lsh_pairs(docs, threshold=0.9, max_bucket=16)
+    full = dedup.minhash_lsh_pairs(docs, threshold=0.9, max_bucket=None)
+    n_capped, n_full = capped.count(), full.count()
+    assert n_capped < n_full  # this corpus IS the hot-bucket case
+    # capped results are still verified-correct pairs (subset of full)
+    assert capped.join(full, ["id_a", "id_b"], "left_anti").count() == 0
 
 
 def test_simhash_blocks(spark, docs):
