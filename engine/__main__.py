@@ -1,0 +1,97 @@
+"""spark-submit entrypoint:
+
+    spark-submit --py-files .engine-pyfiles.zip -m ... OR simply
+    python -m engine <cmd> [args]
+
+Commands
+    create   <table_root> [num_convs]   create + seed a transcripts table
+    maintain <table_root>               full maintenance pass
+    merge    <table_root>               impute-MERGE only
+    compact  <table_root>               bin-packing compaction only
+    cluster  <table_root> [zorder|hilbert]
+    expire   <table_root> [keep_last]
+    sweep    <table_root> [grace_seconds]
+    index    <table_root> <out_dir>     materialize the offline candidate index
+    stats    <table_root>               snapshot/file stats
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from .format import Table
+from .session import get_spark
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    cmd, root = argv[0], argv[1]
+    spark = get_spark(app=f"engine-{cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if cmd == "create":
+            from .synth import generate_transcripts, inject_missing
+            from .write import append
+            n = int(argv[2]) if len(argv) > 2 else 1000
+            df, _ = inject_missing(generate_transcripts(spark, num_convs=n))
+            t = Table.create(root)
+            append(t, df, num_files=max(16, n // 3000),
+                   range_cols=["conv_id", "turn_idx"],
+                   sort_cols=["conv_id", "turn_idx"])
+            print(json.dumps({"created": root, "convs": n}))
+        elif cmd == "maintain":
+            from .maintain import run_maintenance
+            print(json.dumps(run_maintenance(spark, Table(root))))
+        elif cmd == "merge":
+            from .merge import impute_merge
+            snap = impute_merge(spark, Table(root))
+            print(json.dumps({"snapshot": snap.snapshot_id}))
+        elif cmd == "compact":
+            from .maintain import compact
+            snap = compact(spark, Table(root))
+            print(json.dumps({"snapshot":
+                              snap.snapshot_id if snap else None}))
+        elif cmd == "cluster":
+            from .maintain import cluster
+            strategy = argv[2] if len(argv) > 2 else "zorder"
+            snap = cluster(spark, Table(root), strategy)
+            print(json.dumps({"snapshot": snap.snapshot_id}))
+        elif cmd == "expire":
+            from .maintain import expire_snapshots
+            keep = int(argv[2]) if len(argv) > 2 else 2
+            print(json.dumps({"expired":
+                              expire_snapshots(Table(root), keep)}))
+        elif cmd == "sweep":
+            from .maintain import sweep_orphans
+            grace = float(argv[2]) if len(argv) > 2 else 3600.0
+            print(json.dumps({"removed":
+                              sweep_orphans(spark, Table(root), grace)}))
+        elif cmd == "index":
+            from .index import build_candidate_index
+            from .scan import scan
+            out = argv[2]
+            build_candidate_index(scan(spark, Table(root))) \
+                .write.mode("overwrite").parquet(out)
+            print(json.dumps({"index": out}))
+        elif cmd == "stats":
+            from .scan import scan_stats
+            t = Table(root)
+            snap = t.current_snapshot()
+            print(json.dumps({
+                **scan_stats(t),
+                "snapshot": snap.snapshot_id if snap else None,
+                "snapshots": [s.snapshot_id for s in t.snapshots()],
+            }))
+        else:
+            print(__doc__)
+            return 2
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -297,7 +297,9 @@ def evaluate_impute(imputed: DataFrame, worklist: DataFrame,
                     updates: DataFrame | None = None) -> dict:
     """Exact-match accuracy per column (reference protocol:
     ``codes/evaluate/total_evaluate.py:94`` categorical exact match), plus
-    scenario buckets when provenance is available."""
+    scenario buckets when ``updates`` (with src_* provenance) is given —
+    the s1/s2/s3 search-covered / estimation / neither buckets of
+    ``total_evaluate.py:159-174``."""
     melted = imputed.select(
         "conv_id", "turn_idx",
         F.explode(F.map_from_arrays(
@@ -305,10 +307,30 @@ def evaluate_impute(imputed: DataFrame, worklist: DataFrame,
             F.array(F.col("role"), F.col("tool"), F.col("text")),
         )).alias("column_name", "val"))
     j = worklist.join(melted, ["conv_id", "turn_idx", "column_name"], "left")
-    agg = (j.groupBy("column_name")
+    if updates is not None:
+        src = updates.select(
+            "conv_id", "turn_idx",
+            F.explode(F.map_from_arrays(
+                F.array(F.lit("role"), F.lit("tool"), F.lit("text")),
+                F.array(F.col("src_role"), F.col("src_tool"),
+                        F.col("src_text")),
+            )).alias("column_name", "src"))
+        j = j.join(src, ["conv_id", "turn_idx", "column_name"], "left")
+        j = j.withColumn("src", F.coalesce(F.col("src"), F.lit("none")))
+    else:
+        j = j.withColumn("src", F.lit("all"))
+    agg = (j.groupBy("column_name", "src")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum(F.when(F.col("val") == F.col("gt_val"), 1)
                       .otherwise(0)).alias("hits")))
-    out = {r["column_name"]: {"n": r["n"], "acc": r["hits"] / r["n"]}
-           for r in agg.collect()}
+    out: dict = {}
+    for r in agg.collect():
+        col = out.setdefault(r["column_name"], {"n": 0, "hits": 0,
+                                                "buckets": {}})
+        col["n"] += r["n"]
+        col["hits"] += r["hits"]
+        col["buckets"][r["src"]] = {"n": r["n"],
+                                    "acc": r["hits"] / r["n"]}
+    for col in out.values():
+        col["acc"] = col.pop("hits") / col["n"]
     return out

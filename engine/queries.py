@@ -493,6 +493,113 @@ def t6(spark, sf):
             .join(s, "n_nationkey", "left_anti"))
 
 
+# A2 — hit-count aggregation (retrieve_relevant_tables.py:451-474)
+@register("a2_hit_count", """
+SELECT n_name AS nation, count(*) AS hits FROM (
+  SELECT DISTINCT o.o_orderkey, n.n_name
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_totalprice > 100000)
+GROUP BY n_name
+""")
+def a2(spark, sf):
+    o = _t(spark, sf, "orders").filter("o_totalprice > 100000")
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select("o_orderkey", "n_name").distinct()
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("hits")))
+
+
+# A7 — missing-count/ratio stats (create_feats_labels.py:218-219)
+@register("a7_missing_ratio", """
+SELECT event_type,
+       count(*) AS n,
+       count(value) AS n_value,
+       round(1.0 - count(value) * 1.0 / count(*), 6) AS missing_ratio
+FROM events GROUP BY event_type
+""")
+def a7(spark, sf):
+    return (_t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("value").alias("n_value"),
+                 F.round(1.0 - F.count("value") / F.count(F.lit(1)), 6)
+                 .alias("missing_ratio")))
+
+
+# J3 — fuzzy name matching via edit distance
+# (retrieve_relevant_tables.py:24-36 fuzzywuzzy ≥80 → levenshtein rank-1)
+@register("j3_fuzzy_match", """
+SELECT r_name, n_name, dist FROM (
+  SELECT r.r_name, n.n_name,
+         CAST(levenshtein(lower(r.r_name), lower(n.n_name)) AS BIGINT)
+           AS dist,
+         row_number() OVER (PARTITION BY r.r_name
+             ORDER BY levenshtein(lower(r.r_name), lower(n.n_name)),
+                      n.n_name) AS rn
+  FROM region r CROSS JOIN nation n) WHERE rn = 1
+""")
+def j3(spark, sf):
+    r, n = _t(spark, sf, "region"), _t(spark, sf, "nation")
+    from pyspark.sql import Window as W
+    pairs = (r.crossJoin(F.broadcast(n))
+             .withColumn("dist",
+                         F.levenshtein(F.lower("r_name"), F.lower("n_name"))
+                         .cast("bigint")))
+    w = W.partitionBy("r_name").orderBy("dist", "n_name")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1").select("r_name", "n_name", "dist"))
+
+
+# W5 — order columns by missing count (row_acquisitor.py:330-335); here:
+# event types ordered by missing-value count
+@register("w5_order_by_missing", """
+SELECT event_type, n_missing,
+       CAST(row_number() OVER (ORDER BY n_missing, event_type) AS BIGINT)
+         AS impute_order
+FROM (SELECT event_type, count(*) - count(value) AS n_missing
+      FROM events GROUP BY event_type)
+""")
+def w5(spark, sf):
+    from pyspark.sql import Window as W
+    stats = (_t(spark, sf, "events").groupBy("event_type")
+             .agg((F.count(F.lit(1)) - F.count("value"))
+                  .alias("n_missing")))
+    w = W.orderBy("n_missing", "event_type")
+    return stats.withColumn("impute_order",
+                            F.row_number().over(w).cast("bigint"))
+
+
+# T3 — row-set flatten + overlap (create_feats_labels.py:54-68): distinct
+# value overlap between two tables' key columns
+@register("t3_value_overlap", """
+SELECT count(*) AS n_common FROM (
+  SELECT DISTINCT l_partkey FROM lineitem
+  INTERSECT
+  SELECT DISTINCT p_partkey FROM part)
+""")
+def t3(spark, sf):
+    a = _t(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("k")).distinct()
+    b = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("k")).distinct()
+    return a.intersect(b).agg(F.count(F.lit(1)).alias("n_common"))
+
+
+# S3 — JSON field extraction (generalFunctions.py:146-155 readJson)
+@register("s3_json_extract", """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
+FROM events GROUP BY 1
+""")
+def s3(spark, sf):
+    return (_t(spark, sf, "events")
+            .select(F.get_json_object("props", "$.k").cast("bigint")
+                    .alias("k"))
+            .groupBy("k").agg(F.count(F.lit(1)).alias("cnt")))
+
+
 # ═══════════════════════════════ flagship: impute-MERGE recast over events
 # The MERGE-impute semantics expressed relationally (so DuckDB can verify):
 # cells masked by a deterministic md5 rule are recovered from the

@@ -1,0 +1,87 @@
+"""Structured Streaming ingest: late transcript turns → snapshot commits.
+
+The reference is fully offline (no streaming anywhere — SURVEY.md §2.9); the
+north rule's batch maintenance passes compose with continuous arrival via
+``foreachBatch``: each micro-batch of late turns becomes one atomic
+copy-on-write commit (append of new conversations + MERGE of updates to
+existing ones), so readers never observe a half-ingested batch and every
+batch is individually resumable (pass_id = batch id; a replayed batch after
+a crash is a no-op thanks to the checkpoint log).
+
+Design for scale: the micro-batch path reuses the exact batch operators
+(engine.write.append / engine.merge.merge_into) — no separate streaming
+implementation to keep consistent. Watermarking/session windows are not
+needed for ingest-to-table; they'd enter only for streaming *analytics* on
+the stream, which the lakehouse serves from snapshots instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .format import Table
+from .merge import MERGE_KEYS, merge_into
+from .write import append
+
+TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+
+
+def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
+                 batch_id: int, target_files: int | None = None) -> None:
+    """One micro-batch → one snapshot. Rows whose (conv_id, turn_idx) already
+    exist update in place (late re-delivery / edits → MERGE); new keys append
+    as fresh data files. Idempotent per batch_id."""
+    batch = batch.dropDuplicates(list(MERGE_KEYS))
+    if table.current_snapshot() is None:
+        append(table, batch, num_files=target_files or 1,
+               range_cols=list(MERGE_KEYS), sort_cols=list(MERGE_KEYS),
+               summary={"stream_batch": batch_id})
+        return
+    from .scan import Predicate, prune_files, scan
+
+    # split batch into updates (key exists) vs inserts (new key) with ONE
+    # pruned read of the possibly-affected files
+    keys = [r[0] for r in batch.select("conv_id").distinct().collect()]
+    entries = prune_files(table.manifest_entries(),
+                          [Predicate("conv_id", "in", sorted(keys))])
+    if entries:
+        existing = scan(spark, table).select(*MERGE_KEYS) \
+            .join(F.broadcast(batch.select(*MERGE_KEYS)), list(MERGE_KEYS),
+                  "left_semi")
+        upd = batch.join(existing, list(MERGE_KEYS), "left_semi")
+        ins = batch.join(existing, list(MERGE_KEYS), "left_anti")
+    else:
+        upd, ins = batch.limit(0), batch
+    n_upd = upd.count()
+    if n_upd:
+        src = upd.select("conv_id", "turn_idx",
+                         F.col("role").alias("upd_role"),
+                         F.col("text").alias("upd_text"),
+                         F.col("tool").alias("upd_tool"))
+        merge_into(spark, table, src,
+                   {"role": "upd_role", "text": "upd_text",
+                    "tool": "upd_tool"},
+                   pass_id=f"stream-{batch_id}-upd")
+    if ins.limit(1).count():
+        append(table, ins, num_files=target_files or 1,
+               range_cols=list(MERGE_KEYS), sort_cols=list(MERGE_KEYS),
+               summary={"stream_batch": batch_id, "inserted": True})
+
+
+def start_ingest(spark: SparkSession, table: Table, source_dir: str,
+                 checkpoint_dir: str, trigger_once: bool = True):
+    """File-source stream of transcript parquet drops → foreachBatch commits.
+
+    ``trigger_once`` processes the backlog and stops (the batch-maintenance
+    cadence); pass False for continuous micro-batches."""
+    stream = (spark.readStream.schema(TRANSCRIPT_DDL)
+              .option("maxFilesPerTrigger", "64")
+              .parquet(source_dir))
+    writer = (stream.writeStream
+              .option("checkpointLocation", checkpoint_dir)
+              .foreachBatch(lambda b, bid: ingest_batch(spark, table, b, bid)))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

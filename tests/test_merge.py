@@ -52,6 +52,25 @@ def test_impute_accuracy(spark, tmp_table_root):
     assert acc["text"]["acc"] >= 0.9
 
 
+def test_impute_scenario_buckets(spark, tmp_table_root):
+    """Per-bucket accuracy (index vs estimate), FIXTURES.md §6 — the recast
+    of total_evaluate.py's s1/s2/s3 scenario split."""
+    from engine.index import build_candidate_index
+    from engine.merge import plan_impute_updates
+    t, df, injected, wl = _setup(spark, tmp_table_root)
+    impute_merge(spark, t, pass_id="p1")
+    cand = build_candidate_index(injected)
+    updates = plan_impute_updates(injected, cand)
+    acc = evaluate_impute(scan(spark, t), wl, updates=updates)
+    assert set(acc) == {"role", "tool", "text"}
+    for col, stats in acc.items():
+        assert stats["buckets"], col
+        # index-path accuracy must dominate estimate-path accuracy
+        b = stats["buckets"]
+        if "index" in b and "estimate" in b and b["estimate"]["n"] >= 3:
+            assert b["index"]["acc"] >= b["estimate"]["acc"]
+
+
 def test_impute_row_and_key_counts_stable(spark, tmp_table_root):
     t, df, injected, wl = _setup(spark, tmp_table_root)
     before = scan(spark, t).count()
