@@ -160,16 +160,24 @@ orphan sweep → full scan, over a deterministic synthetic transcripts table
 (seeded; byte-identical input and file/partition counts at every parallelism
 level). Building the input table is setup (`write_s`, excluded).
 
-## Hardware calibration (why N=2, 4N=8)
+## Hardware calibration (why N=2, 4N=8, and the measured ceiling)
 
-This sandbox advertises 32 vCPUs but is a VM: a pure-CPU, shuffle-free Spark
-job (xxhash64+md5 over 200M rows) measures speedups of 3.52× for 2→8 threads
-(efficiency 0.88) but only 1.87× for 8→32 (efficiency 0.47). The 8→32 pair is
-therefore hardware-capped below the 0.8 target for ANY workload; the honest
-"N and 4N cores" demonstration on this box is 2→8, with the full-width
-(local[{full_cores}]) throughput reported alongside. On a real multi-executor
-cluster the same job shape scales past 32 cores because executors bring their
-own memory bandwidth and shuffle fabric.
+This sandbox advertises 32 vCPUs but is a VM: a pure-CPU, cache-resident,
+shuffle-free Spark job (xxhash64+md5 over 200M rows) measures speedups of
+3.52× for 2→8 threads (efficiency 0.88) but only 1.87× for 8→32 (efficiency
+0.47). The 8→32 pair is therefore hardware-capped below the 0.8 target for
+ANY workload; the honest "N and 4N cores" demonstration on this box is 2→8,
+with the full-width (local[{full_cores}]) throughput reported alongside.
+
+Data-moving work caps lower still: every stage of this pipeline (shuffle,
+cache write, parquet encode) scales uniformly at ~2.7× for 4× threads
+(measured per-stage at 1→4, 2→8, on 3M and 10M turns — the plateau is
+independent of data size and of which stage, i.e. it is the VM's memory
+bandwidth, not a serial bottleneck in the engine; Amdahl-fitting the
+per-stage numbers gives a near-zero fixed serial term after the
+optimizations listed below). On a real multi-executor cluster each executor
+brings its own memory bandwidth and shuffle fabric, which is exactly the
+resource this VM cannot scale past ~8 threads.
 
 ## Results
 
@@ -196,8 +204,9 @@ own memory bandwidth and shuffle fabric.
 - estimation fallbacks folded into the candidate index as two extra key
   families (no dedicated pipelines/broadcasts)
 
-sf = {sf} (scale knob: ~{int(sf * 30_000_000)} turns; ~28 turns/conv mean
-with a ~1% hot-conversation tail at ~40× — FIXTURES.md §1).
+sf = {sf} (scale knob: {lo['turns']} turns measured; ~28 turns/conv mean
+with a ~1% hot-conversation tail at ~40× — FIXTURES.md §1; override with
+SPARK_GRAFT_BENCH_TURNS).
 """)
 
 
@@ -213,10 +222,12 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
-    # turn count ≈ 30M × sf (≈3M turns at sf0.1): large enough that compute,
-    # not per-stage latency, dominates the scaling measurement; synth
-    # averages ~28 turns/conversation
-    num_convs = args.num_convs or max(200, int(sf * 30_000_000 / 28))
+    # turn count ≈ 100M × sf (≈10M turns at sf0.1): large enough that
+    # compute, not per-stage latency, dominates the scaling measurement;
+    # synth averages ~28 turns/conversation
+    turns_target = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS",
+                                      str(int(sf * 100_000_000))))
+    num_convs = args.num_convs or max(200, turns_target // 28)
     work_dir = args.work_dir
     if work_dir == tempfile.gettempdir() and os.access("/dev/shm", os.W_OK):
         work_dir = "/dev/shm"

@@ -100,9 +100,9 @@ def _dims(ts_col: str, conv_col: str,
         y = F.greatest(F.least(y, F.lit((1 << _BITS) - 1)), F.lit(0))
     else:
         # no bounds known: 16 s buckets since 2020 (covers ~1000 years)
+        secs = (micros / F.lit(1_000_000)).cast("long")
         y = F.shiftrightunsigned(
-            F.greatest(micros // 1_000_000 - F.lit(1577836800),
-                       F.lit(0)).cast("long"), 4)
+            F.greatest(secs - F.lit(1577836800), F.lit(0)).cast("long"), 4)
     return x, y
 
 

@@ -1,0 +1,108 @@
+"""Physical-plan assertions: the plans we want, not just plans that pass.
+
+Checks .explain() output for: parquet filter pushdown + column pruning,
+broadcast joins where intended, whole-stage codegen coverage, and the
+absence of Python evaluation in the maintenance hot path.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+LI = "/root/testdata/sf0.001/lineitem.parquet"
+PART = "/root/testdata/sf0.001/part.parquet"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (spark.read.parquet(LI)
+          .filter(F.col("l_quantity") > 45)
+          .select("l_orderkey", "l_quantity"))
+    p = plan_of(df)
+    assert "PushedFilters" in p
+    assert "GreaterThan(l_quantity" in p
+
+
+def test_column_pruning_reaches_parquet(spark):
+    df = spark.read.parquet(LI).select("l_orderkey", "l_quantity")
+    p = plan_of(df)
+    rs = [line for line in p.splitlines() if "ReadSchema" in line]
+    assert rs and "l_extendedprice" not in rs[0]
+    assert "l_orderkey" in rs[0] and "l_quantity" in rs[0]
+
+
+def test_broadcast_join_in_lookup(spark):
+    li, pt = spark.read.parquet(LI), spark.read.parquet(PART)
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    assert "BroadcastHashJoin" in plan_of(j)
+
+
+def test_impute_pipeline_has_no_python_eval(spark):
+    """The maintenance hot path must be 100% JVM: no BatchEvalPython (row
+    UDF) and no ArrowEvalPython (pandas UDF) anywhere in the impute plan."""
+    from engine.index import build_candidate_index
+    from engine.merge import plan_impute_updates
+    from engine.synth import generate_transcripts, inject_missing
+    df, _ = inject_missing(generate_transcripts(spark, num_convs=10))
+    updates = plan_impute_updates(df, build_candidate_index(df))
+    p = plan_of(updates)
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
+def test_zorder_key_is_codegen(spark):
+    """The SQL morton key must stay inside WholeStageCodegen (no UDF node)."""
+    from engine.layout import zorder_key
+    from engine.synth import generate_transcripts
+    df = generate_transcripts(spark, num_convs=5).withColumn(
+        "k", zorder_key())
+    p = plan_of(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "codegen id" in p  # formatted-mode marker for WholeStageCodegen
+
+
+def test_hilbert_key_is_arrow_not_row_python(spark):
+    """Hilbert needs Python — but it must be the Arrow-vectorized kind."""
+    from engine.layout import hilbert_key
+    from engine.synth import generate_transcripts
+    df = generate_transcripts(spark, num_convs=5).withColumn(
+        "k", hilbert_key())
+    p = plan_of(df)
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_scan_prunes_before_spark_sees_files(spark, tmp_path):
+    """Manifest pruning hands Spark a smaller file list — visible as fewer
+    'files read' than the table holds."""
+    from engine.format import Table
+    from engine.scan import Predicate, scan
+    from engine.synth import generate_transcripts
+    from engine.write import append
+    t = Table.create(str(tmp_path / "t"))
+    append(t, generate_transcripts(spark, num_convs=40), num_files=8,
+           range_cols=["conv_id", "turn_idx"])
+    pruned = scan(spark, t, predicates=[
+        Predicate("conv_id", "eq", "conv-00000003")])
+    full = scan(spark, t)
+    n_pruned = pruned.rdd.getNumPartitions()
+    assert pruned.inputFiles() and len(pruned.inputFiles()) < len(
+        full.inputFiles())
+    assert n_pruned <= len(full.inputFiles())
+
+
+def test_agg_has_partial_hash_aggregate(spark):
+    """groupBy must compile to partial+final HashAggregate (map-side
+    combine), not a raw shuffle of all rows."""
+    df = (spark.read.parquet(LI)
+          .groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    p = plan_of(df)
+    assert p.count("HashAggregate") >= 2
