@@ -153,29 +153,3 @@ def build_candidate_index(df: DataFrame, k: int = TOPK,
     scored = (pairs.groupBy("column_name", "key", "candidate")
               .agg(F.count(F.lit(1)).cast("double").alias("score")))
     return _topk(scored, k)
-
-
-def fallback_stats(df: DataFrame) -> DataFrame:
-    """Estimation fallback lookup (recast of the imputer zoo,
-    ``codes/estimation/fill_missing_values.py:48-259``, reduced to the one
-    method that matters for categorical transcript columns: per-slot mode —
-    the reference's own mean/mode initial guess,
-    ``codes/estimation/row_acquisitor.py:545-548``).
-
-    Output: (turn_mod, role_mode, tool_mode) — 12 rows, always broadcast."""
-    base = df.withColumn("turn_mod", F.pmod(F.col("turn_idx"), F.lit(12)))
-    role_mode = (base.filter(F.col("role").isNotNull())
-                 .groupBy("turn_mod", "role").count()
-                 .withColumn("rn", F.row_number().over(
-                     Window.partitionBy("turn_mod")
-                     .orderBy(F.desc("count"), F.asc("role"))))
-                 .filter("rn = 1").select("turn_mod",
-                                          F.col("role").alias("role_mode")))
-    tool_mode = (base.filter(F.col("tool").isNotNull())
-                 .groupBy("turn_mod", "tool").count()
-                 .withColumn("rn", F.row_number().over(
-                     Window.partitionBy("turn_mod")
-                     .orderBy(F.desc("count"), F.asc("tool"))))
-                 .filter("rn = 1").select("turn_mod",
-                                          F.col("tool").alias("tool_mode")))
-    return role_mode.join(tool_mode, "turn_mod", "full_outer")
