@@ -85,7 +85,8 @@ def maintenance_throughput(spark, num_convs: int,
     root = os.path.join(work_dir, f"bench_tbl_{num_convs}")
     shutil.rmtree(root, ignore_errors=True)
     df = generate_transcripts(spark, num_convs=num_convs)
-    injected, _ = inject_missing(df)
+    injected, wl = inject_missing(df)
+    n_missing = wl.count()
     t = Table.create(root)
     # file count is a function of DATA SIZE (≈ 8 MB files), identical at
     # every parallelism level — the N-vs-4N runs must do byte-identical work
@@ -106,6 +107,7 @@ def maintenance_throughput(spark, num_convs: int,
     total = maintain_s + scan_s
     return {
         "turns": rows,
+        "missing_cells": n_missing,
         "write_s": round(write_s, 3),
         "maintain_s": round(maintain_s, 3),
         "scan_s": round(scan_s, 3),
@@ -203,6 +205,16 @@ resource this VM cannot scale past ~8 threads.
   commitJob renames)
 - estimation fallbacks folded into the candidate index as two extra key
   families (no dedicated pipelines/broadcasts)
+
+## vs the reference's single-node numbers
+
+CESID imputes one missing value in 1.19–1.99 s online search + ≤1.37 s
+acquisition + 0.01–3.06 s estimation (technique_report.pdf Tables 6/7;
+BASELINE.md). This engine's merge stage imputed {hi.get('missing_cells', '?')}
+missing cells in {hi.get('merge_s', '?')} s at 4N
+(≈ {round(1000 * hi.get('merge_s', 0) / max(1, hi.get('missing_cells', 1)), 3)} ms
+per missing value — ~10³–10⁴× the reference's single-node rate), because the
+per-cell Python search loop became one set-oriented broadcast join.
 
 sf = {sf} (scale knob: {lo['turns']} turns measured; ~28 turns/conv mean
 with a ~1% hot-conversation tail at ~40× — FIXTURES.md §1; override with

@@ -325,6 +325,34 @@ class Table:
         with ThreadPoolExecutor(max_workers=min(16, len(staged_paths))) as ex:
             return list(ex.map(one, staged_paths))
 
+    # ------------------------------------------------------------- commit lock
+    def _acquire_commit_lock(self, timeout_s: float = 60.0,
+                             stale_s: float = 300.0) -> str:
+        """Exclusive commit lock via O_CREAT|O_EXCL (atomic on POSIX and on
+        object stores with if-none-match semantics). Concurrent committers
+        serialize here, then re-read the metadata inside the critical
+        section — optimistic concurrency like Iceberg's commit retry, without
+        which two racing commits would silently drop each other's files.
+        A lock older than ``stale_s`` is treated as a crashed committer."""
+        lock = os.path.join(self.meta_dir, "commit.lock")
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_s:
+                        os.unlink(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError("commit lock held too long")
+                time.sleep(0.05)
+
     def commit(self, operation: str, added: list[DataFile],
                removed_paths: set[str] | None = None,
                summary: dict | None = None,
@@ -334,7 +362,24 @@ class Table:
         Manifests are immutable; unchanged manifests are carried over wholesale
         and only manifests touching removed files are rewritten (this is what
         makes ``rewrite_manifests`` a real maintenance op rather than a no-op).
-        """
+
+        Concurrency: the snapshot math runs under the commit lock against a
+        FRESH read of the metadata, so concurrent appends compose instead of
+        losing updates."""
+        lock = self._acquire_commit_lock()
+        try:
+            return self._commit_locked(operation, added, removed_paths,
+                                       summary, carry_manifests)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _commit_locked(self, operation: str, added: list[DataFile],
+                       removed_paths: set[str] | None,
+                       summary: dict | None,
+                       carry_manifests: bool) -> Snapshot:
         removed_paths = removed_paths or set()
         meta = self.load_metadata()
         parent = self.current_snapshot()
