@@ -21,7 +21,8 @@ from .format import DataFile, Snapshot, Table
 
 @dataclass(frozen=True)
 class Predicate:
-    """Minimal pruning predicate language: =, <, <=, >, >=, in, isnull."""
+    """Minimal pruning predicate language: =, <, <=, >, >=, in, notnull.
+    ``in`` values must be a SORTED list (bisect-based planning)."""
     column: str
     op: str          # 'eq' | 'lt' | 'le' | 'gt' | 'ge' | 'in' | 'notnull'
     value: Any = None
@@ -50,7 +51,15 @@ class Predicate:
             if self.op == "ge":
                 return mx >= v
             if self.op == "in":
-                return any(mn <= x <= mx for x in v)
+                # planning is O(files × log keys), not O(files × keys):
+                # with a sorted key list, one bisect decides whether any key
+                # falls inside this file's [min, max]
+                import bisect
+                try:
+                    i = bisect.bisect_left(v, mn)
+                    return i < len(v) and v[i] <= mx
+                except TypeError:
+                    return any(mn <= x <= mx for x in v)
         except TypeError:
             return True  # incomparable types (e.g. str bound vs ts) → keep
         return True
@@ -95,6 +104,28 @@ def scan(spark: SparkSession, table: Table,
     if columns:
         df = df.select(*columns)
     return df
+
+
+def incremental_scan(spark: SparkSession, table: Table,
+                     from_snapshot_id: int,
+                     to_snapshot_id: int | None = None) -> DataFrame:
+    """Rows from data files ADDED strictly after ``from_snapshot_id`` up to
+    ``to_snapshot_id`` (default: current) — Iceberg-style incremental append
+    scan. For append snapshots this is exactly the new rows; for
+    copy-on-write merge/compact/cluster snapshots it returns the rewritten
+    files (a superset of the changed rows — compare against the old snapshot
+    for exact row-level CDC)."""
+    import os
+    base = {e.path for e in
+            table.manifest_entries(table.snapshot(from_snapshot_id))}
+    target = (table.current_snapshot() if to_snapshot_id is None
+              else table.snapshot(to_snapshot_id))
+    new_paths = [os.path.join(table.root, e.path)
+                 for e in table.manifest_entries(target)
+                 if e.path not in base]
+    if not new_paths:
+        return scan(spark, table, snapshot_id=target.snapshot_id).limit(0)
+    return spark.read.parquet(*new_paths)
 
 
 def scan_stats(table: Table, snapshot_id: int | None = None) -> dict:

@@ -43,11 +43,13 @@ def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
 
     # split batch into updates (key exists) vs inserts (new key) with ONE
     # pruned read of the possibly-affected files
-    keys = [r[0] for r in batch.select("conv_id").distinct().collect()]
-    entries = prune_files(table.manifest_entries(),
-                          [Predicate("conv_id", "in", sorted(keys))])
+    keys = sorted(r[0] for r in batch.select("conv_id").distinct().collect())
+    preds = [Predicate("conv_id", "in", keys)]
+    entries = prune_files(table.manifest_entries(), preds)
     if entries:
-        existing = scan(spark, table).select(*MERGE_KEYS) \
+        # pruned scan: only files whose stats intersect the batch's keys
+        existing = scan(spark, table, predicates=preds) \
+            .select(*MERGE_KEYS) \
             .join(F.broadcast(batch.select(*MERGE_KEYS)), list(MERGE_KEYS),
                   "left_semi")
         upd = batch.join(existing, list(MERGE_KEYS), "left_semi")

@@ -56,6 +56,20 @@ def test_column_projection(spark, tmp_table_root):
     assert df.columns == ["conv_id", "turn_idx"]
 
 
+def test_incremental_scan_returns_only_new_rows(spark, tmp_table_root):
+    from engine.scan import incremental_scan
+    t, df = _table(spark, tmp_table_root)
+    s1 = t.current_snapshot().snapshot_id
+    extra = generate_transcripts(spark, num_convs=70).filter(
+        "conv_id >= 'conv-00000060'")
+    append(t, extra, num_files=2)
+    inc = incremental_scan(spark, t, from_snapshot_id=s1)
+    assert sorted_rows(inc) == sorted_rows(extra)
+    # empty diff between identical snapshots
+    s2 = t.current_snapshot().snapshot_id
+    assert incremental_scan(spark, t, s2, s2).count() == 0
+
+
 def test_synth_is_partition_independent(spark):
     a = generate_transcripts(spark, num_convs=25)
     b = generate_transcripts(spark, num_convs=25).repartition(13)
