@@ -260,8 +260,16 @@ def run_maintenance(spark: SparkSession, table: Table,
     rewrite); a single maintenance pass that does both should not pay twice.
     """
     from .merge import impute_merge
+    from .scan import scan
+    from .skew import hot_keys
     pass_id = pass_id or uuid.uuid4().hex[:8]
     out: dict = {"pass_id": pass_id}
+    # hot-conversation report (salted aggregation path, engine.skew): the
+    # per-pass skew metric the checkpoint manifests record, and the input to
+    # any manual salting decision. O(distinct hot convs) on the driver.
+    hot = hot_keys(scan(spark, table)).collect()
+    out["hot_conversations"] = len(hot)
+    out["hot_max_turns"] = max((r["hot_count"] for r in hot), default=0)
     t0 = time.time()
     impute_merge(spark, table, pass_id=f"{pass_id}-merge",
                  target_bytes=target_bytes)
