@@ -234,11 +234,13 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
-    # turn count ≈ 100M × sf (≈10M turns at sf0.1): large enough that
-    # compute, not per-stage latency, dominates the scaling measurement;
-    # synth averages ~28 turns/conversation
+    # turn count ≈ 60M × sf (≈6M turns at sf0.1): large enough that compute,
+    # not per-stage latency, dominates the scaling measurement, while the
+    # whole bench stays under ~6 min; synth averages ~28 turns/conversation.
+    # (10M turns measures ~0.05 higher efficiency if you have the time:
+    # SPARK_GRAFT_BENCH_TURNS=10000000.)
     turns_target = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS",
-                                      str(int(sf * 100_000_000))))
+                                      str(int(sf * 60_000_000))))
     num_convs = args.num_convs or max(200, turns_target // 28)
     work_dir = args.work_dir
     if work_dir == tempfile.gettempdir() and os.access("/dev/shm", os.W_OK):
@@ -264,10 +266,17 @@ def main() -> None:
         # (virtualized cores), so 2→8 is the pair where the hardware can
         # actually deliver 4× — see BENCH/BASELINE.md for the calibration.
         n_lo, n_hi = 2, 8
-        lo = _run_sub(n_lo, num_convs, work_dir)
-        hi = _run_sub(n_hi, num_convs, work_dir)
-        full = (_run_sub(args.cpus, num_convs, work_dir)
-                if args.cpus > n_hi else hi)
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+
+        def best_of(cpus: int, n: int) -> dict:
+            # best-of-n: the sandbox shares a host; the fastest run is the
+            # least-contended measurement of the same deterministic work
+            runs = [_run_sub(cpus, num_convs, work_dir) for _ in range(n)]
+            return max(runs, key=lambda r: r["turns_per_sec"])
+
+        lo = best_of(n_lo, reps)
+        hi = best_of(n_hi, reps)
+        full = (best_of(args.cpus, 1) if args.cpus > n_hi else hi)
         eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
         # headline = best measured width: past ~8 threads this VM's virtual
         # cores add contention, not capacity (see BENCH/BASELINE.md), and a
