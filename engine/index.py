@@ -50,13 +50,15 @@ def _with_context(df: DataFrame) -> DataFrame:
     subtree across union/join branches, and this pipeline is the single
     widest shuffle of the merge pass."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # only 32-byte digests of neighbor texts are kept: carrying the raw
+    # neighbor texts would triple the text bytes through this (widest)
+    # shuffle and the ctx cache — the nearest-turn fallback text is fetched
+    # later by a tiny keyed join against worklist neighbors instead
     return (df
             .withColumn("prev_role", F.lag("role").over(w))
             .withColumn("next_role", F.lead("role").over(w))
-            .withColumn("prev_text", F.lag("text").over(w))
-            .withColumn("next_text", F.lead("text").over(w))
-            .withColumn("prev_text_sig", F.md5(F.col("prev_text")))
-            .withColumn("next_text_sig", F.md5(F.col("next_text"))))
+            .withColumn("prev_text_sig", F.md5(F.lag("text").over(w)))
+            .withColumn("next_text_sig", F.md5(F.lead("text").over(w))))
 
 
 def role_key_col():

@@ -112,11 +112,30 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
                                    F.col("cand_text_prev"),
                                    F.col("cand_text_next"))))
 
+    # nearest-turn copy is the text estimation fallback (FIXTURES.md §6):
+    # fetched with a keyed join of the worklist's ±1 neighbors against the
+    # table — O(worklist) rows, instead of carrying every row's raw neighbor
+    # texts through the context window (3× the text bytes of the table)
+    nbr_keys = (work.filter(F.col("text").isNull())
+                .select("conv_id", F.col("turn_idx").alias("orig_turn"))
+                .withColumn("turn_idx",
+                            F.explode(F.array(F.col("orig_turn") - 1,
+                                              F.col("orig_turn") + 1))))
+    nbr_text = (F.broadcast(nbr_keys)
+                .join(ctx.select("conv_id", "turn_idx", "text"),
+                      ["conv_id", "turn_idx"], "inner")
+                .filter(F.col("text").isNotNull())
+                .groupBy("conv_id", F.col("orig_turn").alias("turn_idx"))
+                .agg(F.max(F.when(F.col("turn_idx") < F.col("orig_turn"),
+                                  F.col("text"))).alias("prev_text"),
+                     F.max(F.when(F.col("turn_idx") > F.col("orig_turn"),
+                                  F.col("text"))).alias("next_text")))
+    work = work.join(nbr_text, ["conv_id", "turn_idx"], "left")
+
     est_role = F.coalesce(F.col("cand_role_fb"), F.lit("assistant"))
     # a turn needs a tool value only if its (possibly imputed) role is 'tool'
     eff_role = F.coalesce(F.col("role"), F.col("cand_role"), est_role)
     est_tool = F.coalesce(F.col("cand_tool_fb"), F.lit("search"))
-    # nearest-turn copy is the text estimation fallback (FIXTURES.md §6)
     est_text = F.coalesce(F.col("prev_text"), F.col("next_text"),
                           F.lit("[unrecoverable]"))
 
