@@ -46,12 +46,23 @@ def _truncate_lower(v: str) -> str:
     return v[:_MAX_BOUND_LEN]
 
 
-def _truncate_upper(v: str) -> str:
+def _truncate_upper(v: str) -> str | None:
+    """Truncate-with-carry like Iceberg: walk backwards to a char that can
+    be incremented (dropping maxed-out tails), skipping the surrogate range
+    so the bound stays valid JSON. Returns None (= unbounded, conservative)
+    when no char is incrementable."""
     if len(v) <= _MAX_BOUND_LEN:
         return v
     head = v[:_MAX_BOUND_LEN]
-    # bump last char so the truncated value still upper-bounds the original
-    return head[:-1] + chr(ord(head[-1]) + 1)
+    for i in range(len(head) - 1, -1, -1):
+        c = ord(head[i])
+        if c >= 0x10FFFF:
+            continue  # maxed: drop it and carry into the previous char
+        nc = c + 1
+        if 0xD800 <= nc <= 0xDFFF:
+            nc = 0xE000  # skip the surrogate block
+        return head[:i] + chr(nc)
+    return None
 
 
 def _jsonable(v: Any) -> Any:
@@ -148,7 +159,9 @@ def collect_parquet_stats(abs_path: str) -> tuple[int, int, dict]:
             mn, mx = mins[name], maxs[name]
             if isinstance(mn, str):
                 mn, mx = _truncate_lower(mn), _truncate_upper(mx)
-            entry["min"], entry["max"] = mn, mx
+            entry["min"] = mn
+            if mx is not None:  # None = no representable upper bound
+                entry["max"] = mx
         if name in nulls:
             entry["null_count"] = nulls[name]
         if entry:
@@ -167,7 +180,9 @@ def ts_bounds_micros(entries: list["DataFile"],
         st = e.stats.get(col)
         if not st or "min" not in st:
             continue
-        for bound, is_min in ((st["min"], True), (st["max"], False)):
+        for bound, is_min in ((st["min"], True), (st.get("max"), False)):
+            if bound is None:
+                continue
             if isinstance(bound, (int, float)):
                 us = int(bound)
             else:
@@ -423,7 +438,20 @@ class Table:
     def expire_snapshots(self, keep_last: int = 1,
                          older_than_ms: int | None = None) -> list[int]:
         """Drop old snapshots from the log (data/manifest GC is the orphan
-        sweep's job, engine.maintain.sweep_orphans)."""
+        sweep's job, engine.maintain.sweep_orphans). Runs under the commit
+        lock with a fresh metadata read — a concurrent commit landing
+        mid-expiry must not be dropped from the log."""
+        lock = self._acquire_commit_lock()
+        try:
+            return self._expire_locked(keep_last, older_than_ms)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _expire_locked(self, keep_last: int,
+                       older_than_ms: int | None) -> list[int]:
         meta = self.load_metadata()
         snaps = meta["snapshots"]
         if not snaps:

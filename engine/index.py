@@ -9,22 +9,32 @@ against it and candidate values are scored and summed
 
 Here the index is a plain DataFrame/Parquet table
 
-    (column_name, key, candidate, score, rank)
+    (column_name, key, candidate, ptr_conv, ptr_turn, score, rank)
 
 built in ONE Spark job (the bash fan-out/merge choreography is just a shuffle)
-and consumed as a broadcast lookup join. Keys are deterministic context
-signatures (the analog of CESID's tuple-similarity search: a value is
-recoverable because *related conversations share content*, like related tables
-in the reference's lake):
+and consumed with a shuffle equi-join (measured faster than broadcasting the
+multi-million-row rank-1 side; the broadcast build is serial driver work that
+no executor count can hide). Keys are deterministic context signatures (the
+analog of CESID's tuple-similarity search: a value is recoverable because
+*related conversations share content*, like related tables in the reference's
+lake):
 
 - role: (turn_idx mod 12, prev_role, next_role)   — role cycles are periodic
 - tool: md5(text)                                  — same turn in a related
   conversation has the same text and the same tool
 - text: (turn_idx, md5(prev_text), md5(next_text)) — neighbors pin the slot
 
+Scale design — raw text NEVER rides a wide shuffle here: the context window
+and the index aggregation carry 32-byte md5 sigs; text-family *candidates*
+are (sig, pointer-to-donor-row) and the winning text is fetched afterwards by
+an O(worklist) keyed join against the table (engine.merge). This cuts the two
+widest shuffles of the maintenance pass by ~4× in bytes.
+
 Scoring = support count summed per (key, candidate) (reference A1,
-``retrieve_relevant_values.py:88-102``), then per-key top-k by
-``row_number`` with a deterministic tiebreak (reference W1 heap,
+``retrieve_relevant_values.py:88-102``). Top-1 (the merge path, k=1) is a
+second partial-aggregated ``min(struct(-score, candidate, ptr))`` — no window
+sort, scales at the hardware ceiling. Top-k (k>1, the offline-index API)
+falls back to ``row_number`` (reference W1 heap,
 ``codes/utils/match_row.py:83-126`` — bound-pruning dropped: vectorized
 scoring beats branchy pruning).
 """
@@ -38,27 +48,28 @@ TOPK = 3  # reference keeps top-3 similar tuples (retrieve_relevant_values.py:20
 
 
 def _with_context(df: DataFrame) -> DataFrame:
-    """lag/lead context per conversation under stable (conv_id, turn_idx)
-    ordering — ONE window sort produces every context column (all functions
-    share the frame, so Catalyst evaluates them in a single Window exec).
-    Window partitions are bounded by conversation length (≤ ~1e5 turns even
-    for hot conversations), so no salting is needed here; the shuffle key is
-    conv_id and AQE splits oversized partitions.
+    """Lean per-conversation context under stable (conv_id, turn_idx)
+    ordering: md5(text) is computed BEFORE the window (narrow), so the
+    window shuffle — the single widest exchange of the merge pass — carries
+    ~60 B/row instead of the raw text payload. ONE window sort produces
+    every context column (all functions share the frame → single Window
+    exec). Window partitions are bounded by conversation length (≤ ~1e5
+    turns even for hot conversations); AQE splits oversized partitions.
+
+    Output columns: conv_id, turn_idx, role, tool, text_sig (md5; null ⇔
+    text null), prev_role, next_role, prev_text_sig, next_text_sig.
 
     Callers that consume the context more than once (index build + update
     plan) should persist the result: Catalyst does NOT share a common
-    subtree across union/join branches, and this pipeline is the single
-    widest shuffle of the merge pass."""
+    subtree across union/join branches."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    # only 32-byte digests of neighbor texts are kept: carrying the raw
-    # neighbor texts would triple the text bytes through this (widest)
-    # shuffle and the ctx cache — the nearest-turn fallback text is fetched
-    # later by a tiny keyed join against worklist neighbors instead
-    return (df
+    sigs = df.select("conv_id", "turn_idx", "role", "tool",
+                     F.md5("text").alias("text_sig"))
+    return (sigs
             .withColumn("prev_role", F.lag("role").over(w))
             .withColumn("next_role", F.lead("role").over(w))
-            .withColumn("prev_text_sig", F.md5(F.lag("text").over(w)))
-            .withColumn("next_text_sig", F.md5(F.lead("text").over(w))))
+            .withColumn("prev_text_sig", F.lag("text_sig").over(w))
+            .withColumn("next_text_sig", F.lead("text_sig").over(w)))
 
 
 def role_key_col():
@@ -69,7 +80,7 @@ def role_key_col():
 
 
 def tool_key_col():
-    return F.md5(F.col("text"))
+    return F.col("text_sig")
 
 
 def text_key_col():
@@ -94,27 +105,25 @@ def text_next_key_col():
                        F.coalesce(F.col("next_text_sig"), F.lit("$")))
 
 
-def _topk(scored: DataFrame, k: int) -> DataFrame:
-    w = (Window.partitionBy("column_name", "key")
-         .orderBy(F.desc("score"), F.asc("candidate")))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+TEXT_FAMILIES = ("text", "text_prev", "text_next")
 
 
 def key_families():
-    """The six (family, key, candidate-with-guard) triples. The 'role_text'
+    """The (family, key, candidate-with-guard) triples. The 'role_text'
     family pins role by the row's own text — tuple similarity on a second
     mapped column, like the reference probing every related column
-    (retrieve_relevant_tables.py:430-474)."""
-    text_ok = F.col("text").isNotNull()
+    (retrieve_relevant_tables.py:430-474). Text families' candidates are the
+    text's md5 sig — identity for support counting; the payload is fetched
+    later through the winner's (ptr_conv, ptr_turn) pointer."""
+    text_ok = F.col("text_sig").isNotNull()
     turn_mod = F.pmod(F.col("turn_idx"), F.lit(12)).cast("string")
     return {
         "role": (role_key_col(), F.col("role")),
         "role_text": (tool_key_col(), F.when(text_ok, F.col("role"))),
         "tool": (tool_key_col(), F.when(text_ok, F.col("tool"))),
-        "text": (text_key_col(), F.col("text")),
-        "text_prev": (text_prev_key_col(), F.col("text")),
-        "text_next": (text_next_key_col(), F.col("text")),
+        "text": (text_key_col(), F.col("text_sig")),
+        "text_prev": (text_prev_key_col(), F.col("text_sig")),
+        "text_next": (text_next_key_col(), F.col("text_sig")),
         # estimation fallbacks as two more families (global per-slot mode —
         # the reference's mean/mode initial guess, row_acquisitor.py:545-548)
         # so they ride the SAME explode/agg/top-k instead of dedicated
@@ -124,34 +133,70 @@ def key_families():
     }
 
 
-def build_candidate_index(df: DataFrame, k: int = TOPK,
-                          ctx: DataFrame | None = None,
-                          probe_keys: DataFrame | None = None) -> DataFrame:
-    """One job: context windows → per-column (key, candidate) support counts →
-    per-key top-k. All key families are emitted by a SINGLE explode over one
-    context pass (a per-family union would re-run the window pipeline per
-    branch — Catalyst has no cross-branch subtree reuse).
-
-    ``probe_keys`` (columns: column_name, key) prunes the build to keys that
-    will actually be looked up: the explode still scans every donor row, but
-    the shuffle/aggregate behind it shrinks from O(rows × families) to
-    O(matching pairs) — at a 1% missing-cell rate that is ~99% less shuffle.
-    This is the merge-pass mode (CESID's *online* search probes only the
-    missing cells' contexts, retrieve_relevant_values.py:133-231); omit it to
-    materialize the full offline index table."""
-    if ctx is None:
-        ctx = _with_context(df)
+def _scored_pairs(ctx: DataFrame,
+                  probe_keys: DataFrame | None = None) -> DataFrame:
+    """(column_name, key, candidate) support counts + one deterministic
+    donor pointer per candidate. All key families are emitted by a SINGLE
+    explode over one context pass (a per-family union would re-run the
+    window pipeline per branch — Catalyst has no cross-branch subtree
+    reuse); map-side partial aggregation collapses the exploded pairs
+    before the shuffle."""
     fams = F.array(*[
         F.struct(F.lit(name).alias("column_name"),
                  key.alias("key"), cand.alias("candidate"))
         for name, (key, cand) in key_families().items()])
-    pairs = (ctx.select(F.explode(fams).alias("f"))
-             .select("f.column_name", "f.key", "f.candidate")
+    pairs = (ctx.select("conv_id", "turn_idx", F.explode(fams).alias("f"))
+             .select("conv_id", "turn_idx",
+                     "f.column_name", "f.key", "f.candidate")
              .filter(F.col("candidate").isNotNull()
                      & F.col("key").isNotNull()))
     if probe_keys is not None:
         pairs = pairs.join(F.broadcast(probe_keys), ["column_name", "key"],
                            "left_semi")
-    scored = (pairs.groupBy("column_name", "key", "candidate")
-              .agg(F.count(F.lit(1)).cast("double").alias("score")))
-    return _topk(scored, k)
+    return (pairs.groupBy("column_name", "key", "candidate")
+            .agg(F.count(F.lit(1)).cast("double").alias("score"),
+                 F.min(F.struct(F.col("conv_id").alias("c"),
+                                F.col("turn_idx").alias("t"))).alias("ptr"))
+            .select("column_name", "key", "candidate", "score",
+                    F.col("ptr.c").alias("ptr_conv"),
+                    F.col("ptr.t").alias("ptr_turn")))
+
+
+def build_candidate_index(df: DataFrame, k: int = TOPK,
+                          ctx: DataFrame | None = None,
+                          probe_keys: DataFrame | None = None) -> DataFrame:
+    """One job: context windows → per-column (key, candidate) support counts →
+    per-key top-k.
+
+    ``k=1`` (the merge-pass mode) selects the winner with a second partial
+    aggregation ``min(struct(-score, candidate, ptr))`` — deterministic
+    (desc score, asc candidate) with NO window sort; it scales measurably
+    better than the window at low parallelism (no sort, map-side combine on
+    both aggs). ``k>1`` keeps the ``row_number`` window (offline-index API).
+
+    ``probe_keys`` (columns: column_name, key) prunes the build to keys that
+    will actually be looked up (CESID's *online* search probes only the
+    missing cells' contexts, retrieve_relevant_values.py:133-231); omit it to
+    materialize the full offline index table."""
+    if ctx is None:
+        ctx = _with_context(df)
+    scored = _scored_pairs(ctx, probe_keys)
+    if k == 1:
+        best = F.struct((-F.col("score")).alias("ns"),
+                        F.col("candidate").alias("candidate"),
+                        F.col("ptr_conv").alias("ptr_conv"),
+                        F.col("ptr_turn").alias("ptr_turn"))
+        return (scored.groupBy("column_name", "key")
+                .agg(F.min(best).alias("m"))
+                .select("column_name", "key",
+                        F.col("m.candidate").alias("candidate"),
+                        (-F.col("m.ns")).alias("score"),
+                        F.col("m.ptr_conv").alias("ptr_conv"),
+                        F.col("m.ptr_turn").alias("ptr_turn"),
+                        F.lit(1).alias("rank")))
+    w = (Window.partitionBy("column_name", "key")
+         .orderBy(F.desc("score"), F.asc("candidate")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("column_name", "key", "candidate", "score",
+                    "ptr_conv", "ptr_turn", "rank"))

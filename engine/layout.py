@@ -133,17 +133,56 @@ def hilbert_key(ts_col: str = "ts", conv_col: str = "conv_id",
     return _hilbert_udf(x, y)
 
 
+def curve_key(strategy: str = "zorder", ts_col: str = "ts",
+              conv_col: str = "conv_id",
+              ts_bounds: tuple[int, int] | None = None) -> Column:
+    return zorder_key(ts_col, conv_col, ts_bounds) if strategy == "zorder" \
+        else hilbert_key(ts_col, conv_col, ts_bounds)
+
+
+def curve_bounds(df: DataFrame, strategy: str, num_files: int,
+                 ts_col: str = "ts", conv_col: str = "conv_id",
+                 ts_bounds: tuple[int, int] | None = None,
+                 rel_err: float = 0.003) -> list[int]:
+    """Curve-key partition boundaries via approxQuantile over a two-column
+    scan. Why not repartitionByRange: its sampler evaluates the FULL parent
+    rows a second time; the quantile pass here reads only (ts, conv_col) —
+    Parquet column pruning makes it a fraction of one full pass, and the
+    write pass then needs no sampling at all."""
+    key = curve_key(strategy, ts_col, conv_col, ts_bounds)
+    keyed = df.select(key.alias("__ckey"))
+    qs = [i / num_files for i in range(1, num_files)]
+    raw = keyed.stat.approxQuantile("__ckey", qs, rel_err)
+    bounds: list[int] = []
+    for b in raw:
+        b = int(b)
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
 def cluster_dataframe(df: DataFrame, strategy: str = "zorder",
                       num_files: int | None = None,
                       ts_col: str = "ts", conv_col: str = "conv_id",
-                      ts_bounds: tuple[int, int] | None = None) -> DataFrame:
+                      ts_bounds: tuple[int, int] | None = None,
+                      bounds: list[int] | None = None) -> DataFrame:
     """Attach the space-filling-curve key, range-partition on it (each output
     file owns a contiguous curve segment → tight min/max on BOTH dimensions),
-    sort within partitions, drop the key."""
-    key = zorder_key(ts_col, conv_col, ts_bounds) if strategy == "zorder" \
-        else hilbert_key(ts_col, conv_col, ts_bounds)
+    sort within partitions, drop the key.
+
+    With ``bounds`` (from ``curve_bounds``) the exchange is the sampling-free
+    bucket/representative path of ``engine.write``; otherwise
+    ``repartitionByRange`` samples — recomputing the parent plan."""
+    key = curve_key(strategy, ts_col, conv_col, ts_bounds)
     out = df.withColumn("__ckey", key)
-    if num_files:
+    if bounds:
+        from .write import bucket_expr, partition_reps
+        pid = bucket_expr(F.col("__ckey"), bounds)
+        reps = partition_reps(len(bounds) + 1)
+        rep = F.element_at(F.array(*[F.lit(r).cast("long") for r in reps]),
+                           pid + 1)
+        out = out.repartition(len(bounds) + 1, rep)
+    elif num_files:
         out = out.repartitionByRange(num_files, "__ckey")
     else:
         out = out.repartitionByRange("__ckey")

@@ -8,12 +8,14 @@ north rule adds so the same lake works at 10^12 turns.
 
 from __future__ import annotations
 
+import datetime
+import glob as globlib
 import os
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointLog, TaskRecord
@@ -61,10 +63,14 @@ def compact(spark: SparkSession, table: Table,
     even when individual groups are small); each group checkpoints its
     lineage+metrics the moment its output is durably staged, so a killed pass
     resumes mid-plan without re-reading finished groups."""
+    from .merge import _adopt_crashed_commit
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "compact")
     if ckpt.pass_committed():
         return table.current_snapshot()
+    adopted = _adopt_crashed_commit(table, ckpt, pass_id)
+    if adopted is not None:
+        return adopted
     entries = table.manifest_entries()
     groups = plan_compaction(entries, target_bytes)
     if not groups:
@@ -116,13 +122,17 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
     """Full-table rewrite ordered by the space-filling curve
     (engine.layout): repartitionByRange on the curve key gives every output
     file a contiguous curve segment → tight min/max on BOTH hash(conv_id) and
-    ts. One shuffle (the range exchange); the curve key itself is computed in
-    a single Arrow-vectorized pandas UDF."""
+    ts. One shuffle (the range exchange); the curve key itself is pure Spark
+    SQL bit arithmetic (Z-order) or one Arrow-vectorized UDF (Hilbert)."""
+    from .merge import _adopt_crashed_commit
     assert strategy in ("zorder", "hilbert")
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, f"cluster-{strategy}")
     if ckpt.pass_committed():
         return table.current_snapshot()
+    adopted = _adopt_crashed_commit(table, ckpt, pass_id)
+    if adopted is not None:
+        return adopted
     entries = table.manifest_entries()
     in_paths = [e.path for e in entries]
     total_bytes = sum(e.file_size_bytes for e in entries)
@@ -138,10 +148,16 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
     if rec is not None:
         staged = [_restat(table, p) for p in rec["output_files"]]
     else:
+        from .layout import curve_bounds
         df = spark.read.parquet(
             *[os.path.join(table.root, p) for p in in_paths])
+        ts_b = ts_bounds_micros(entries)
+        # curve-key quantiles over a two-column scan replace the range
+        # sampler (which would re-evaluate the full rows a second time)
+        bounds = (curve_bounds(df, strategy, num_files, ts_bounds=ts_b)
+                  if num_files > 1 else None)
         out = cluster_dataframe(df, strategy=strategy, num_files=num_files,
-                                ts_bounds=ts_bounds_micros(entries))
+                                ts_bounds=ts_b, bounds=bounds)
         staged = stage_dataframe(table, out)
         rows = sum(e.record_count for e in staged)
         mean_rows = rows / max(1, len(staged))
@@ -163,29 +179,41 @@ def rewrite_manifests(table: Table, entries_per_manifest: int = 64) -> Snapshot:
     """Regroup manifest entries by min conv_id into fixed-size manifests.
     After many merge/append commits, manifests fragment (one tiny manifest per
     commit) and planning cost creeps from O(files) toward O(commits·files);
-    this rebalances the metadata tree — data files untouched."""
-    entries = table.manifest_entries()
-    entries.sort(key=lambda e: (str(e.stats.get("conv_id", {}).get("min", "")),
-                                e.path))
-    meta = table.load_metadata()
-    manifests = []
-    for i in range(0, len(entries), entries_per_manifest):
-        manifests.append(
-            table.write_manifest(entries[i:i + entries_per_manifest]))
-    parent = table.current_snapshot()
-    snap = Snapshot(
-        snapshot_id=parent.snapshot_id + 1,
-        parent_id=parent.snapshot_id,
-        timestamp_ms=int(time.time() * 1000),
-        operation="rewrite-manifests",
-        manifests=manifests,
-        summary={"manifests": len(manifests), "files": len(entries)},
-    )
-    meta["snapshots"].append(snap.to_json())
-    meta["current_snapshot_id"] = snap.snapshot_id
-    meta["version"] += 1
-    table._write_version(meta["version"], meta)
-    return snap
+    this rebalances the metadata tree — data files untouched.
+
+    Runs under the commit lock with a FRESH metadata read inside the critical
+    section (same optimistic-concurrency rule as Table.commit): without it, a
+    concurrent append landing between load and write would be silently
+    dropped from the snapshot log and its files swept as orphans."""
+    lock = table._acquire_commit_lock()
+    try:
+        entries = table.manifest_entries()
+        entries.sort(key=lambda e: (str(e.stats.get("conv_id", {})
+                                        .get("min", "")), e.path))
+        meta = table.load_metadata()
+        manifests = []
+        for i in range(0, len(entries), entries_per_manifest):
+            manifests.append(
+                table.write_manifest(entries[i:i + entries_per_manifest]))
+        parent = table.current_snapshot()
+        snap = Snapshot(
+            snapshot_id=parent.snapshot_id + 1,
+            parent_id=parent.snapshot_id,
+            timestamp_ms=int(time.time() * 1000),
+            operation="rewrite-manifests",
+            manifests=manifests,
+            summary={"manifests": len(manifests), "files": len(entries)},
+        )
+        meta["snapshots"].append(snap.to_json())
+        meta["current_snapshot_id"] = snap.snapshot_id
+        meta["version"] += 1
+        table._write_version(meta["version"], meta)
+        return snap
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 # ------------------------------------------------- snapshot expiry + orphans
@@ -195,51 +223,147 @@ def expire_snapshots(table: Table, keep_last: int = 2,
                                   older_than_ms=older_than_ms)
 
 
+_SWEEP_DISTRIBUTED_THRESHOLD = 100_000  # data files
+
+
+def _dir_entries_exceed(path: str, n: int) -> bool:
+    """True if ``path`` holds more than n entries — scandir stops at n+1, so
+    the check itself never materializes a giant listing."""
+    count = 0
+    with os.scandir(path) as it:
+        for _ in it:
+            count += 1
+            if count > n:
+                return True
+    return False
+
+
 def sweep_orphans(spark: SparkSession, table: Table,
                   grace_seconds: float = 3600.0,
-                  dry_run: bool = False) -> list[str]:
+                  dry_run: bool = False,
+                  distributed: bool | None = None) -> list[str]:
     """Delete data files referenced by NO retained snapshot.
 
-    The referenced set spans ALL retained snapshots (not just HEAD — old
-    snapshots must stay readable), plus outputs recorded by not-yet-committed
-    checkpoint passes (staged work a resume will adopt). The set difference is
-    a left-anti join (reference analog: the `isin`-complement bucketing,
-    ``codes/evaluate/total_evaluate.py:164``) — run in Spark because at
-    10^12-turn scale the file listing itself is billions of rows."""
+    Two modes (auto-selected by data-dir size, like Iceberg's local-vs-
+    distributed GC): the small-table path is pure driver Python (zero Spark
+    jobs — the fixed job latency would dwarf the work); past
+    ``_SWEEP_DISTRIBUTED_THRESHOLD`` files the set difference runs fully
+    Spark-side — the referenced set is read from the retained snapshots'
+    manifest JSONs with ``spark.read.json`` (plus staged outputs of
+    not-yet-committed checkpoint passes — work a resume will adopt), the
+    live listing comes from the distributed ``binaryFile`` source (content
+    column pruned away, so no bytes are read), and the difference is a
+    left-anti join (reference analog of the set complement: the
+    ``isin``-complement bucketing, ``codes/evaluate/total_evaluate.py:164``).
+    Nothing lands on the driver except the orphan list itself.
+
+    ``grace_seconds`` protects files newer than the grace window: a
+    concurrent pass moves files into data/ BEFORE its checkpoint record
+    exists, so sweeping at grace 0 while writers run would delete freshly
+    staged work."""
+    if distributed is None:
+        distributed = _dir_entries_exceed(table.data_dir,
+                                          _SWEEP_DISTRIBUTED_THRESHOLD)
+    if not distributed:
+        orphans = _sweep_local(table, grace_seconds)
+    else:
+        orphans = _sweep_distributed(spark, table, grace_seconds)
+    if not dry_run:
+        # driver-side unlink is O(orphans) — a steady-state sweep deletes
+        # few files; a backlog purge would move this into foreachPartition
+        for rel in orphans:
+            os.remove(os.path.join(table.root, rel))
+    return sorted(orphans)
+
+
+def _uncommitted_checkpoint_outputs(table: Table) -> set[str]:
+    import json
+    out: set[str] = set()
+    ckpt_dir = os.path.join(table.meta_dir, "checkpoints")
+    if not os.path.isdir(ckpt_dir):
+        return out
+    for fn in os.listdir(ckpt_dir):
+        with open(os.path.join(ckpt_dir, fn)) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+        committed = any(r["task_id"] == "__pass__" and r["committed"]
+                        for r in recs)
+        if not committed:
+            for r in recs:
+                out.update(r.get("output_files", []))
+    return out
+
+
+def _sweep_local(table: Table, grace_seconds: float) -> list[str]:
     referenced: set[str] = set()
     for snap in table.snapshots():
         for e in table.manifest_entries(snap):
             referenced.add(e.path)
-    ckpt_dir = os.path.join(table.meta_dir, "checkpoints")
-    if os.path.isdir(ckpt_dir):
-        import json
-        for fn in os.listdir(ckpt_dir):
-            with open(os.path.join(ckpt_dir, fn)) as f:
-                recs = [json.loads(line) for line in f if line.strip()]
-            committed = any(r["task_id"] == "__pass__" and r["committed"]
-                            for r in recs)
-            if not committed:
-                for r in recs:
-                    referenced.update(r.get("output_files", []))
-
+    referenced |= _uncommitted_checkpoint_outputs(table)
     now = time.time()
-    listed = []
-    for fn in os.listdir(table.data_dir):
-        rel = os.path.join("data", fn)
-        full = os.path.join(table.data_dir, fn)
-        if now - os.path.getmtime(full) >= grace_seconds:
-            listed.append((rel,))
-    if not listed:
+    orphans = []
+    with os.scandir(table.data_dir) as it:
+        for de in it:
+            rel = os.path.join("data", de.name)
+            if rel in referenced:
+                continue
+            if now - de.stat().st_mtime >= grace_seconds:
+                orphans.append(rel)
+    return orphans
+
+
+def _sweep_distributed(spark: SparkSession, table: Table,
+                       grace_seconds: float) -> list[str]:
+    refs: list[DataFrame] = []
+    manifest_paths = sorted({os.path.join(table.meta_dir, mf)
+                             for snap in table.snapshots()
+                             for mf in snap.manifests})
+    if manifest_paths:
+        refs.append(spark.read.option("multiLine", True).json(manifest_paths)
+                    .select(F.explode("entries.path").alias("path")))
+    ckpt_glob = os.path.join(table.meta_dir, "checkpoints", "*.jsonl")
+    if globlib.glob(ckpt_glob):
+        ck = spark.read.json(ckpt_glob).withColumn("f", F.input_file_name())
+        committed = (ck.filter((F.col("task_id") == "__pass__")
+                               & F.col("committed"))
+                     .select("f").distinct())
+        refs.append(ck.join(committed, "f", "left_anti")
+                    .select(F.explode("output_files").alias("path"))
+                    .filter(F.col("path").isNotNull()))
+    if not refs:
         return []
-    listed_df = spark.createDataFrame(listed, ["path"])
-    ref_df = spark.createDataFrame([(p,) for p in referenced] or [("",)],
-                                   ["path"])
-    orphans = [r["path"] for r in
-               listed_df.join(ref_df, "path", "left_anti").collect()]
-    if not dry_run:
-        for rel in orphans:
-            os.remove(os.path.join(table.root, rel))
-    return sorted(orphans)
+    referenced = refs[0]
+    for r in refs[1:]:
+        referenced = referenced.unionByName(r)
+
+    cutoff = datetime.datetime.fromtimestamp(time.time() - grace_seconds)
+    listed = (spark.read.format("binaryFile").load(table.data_dir)
+              .filter(F.col("modificationTime") <= F.lit(cutoff))
+              .select(F.concat(F.lit("data/"),
+                               F.element_at(F.split(F.col("path"), "/"), -1))
+                      .alias("path")))
+    return [r["path"] for r in
+            listed.join(referenced, "path", "left_anti").collect()]
+
+
+# ------------------------------------------------------------------ metrics
+def maintenance_metrics(spark: SparkSession, table: Table,
+                        pass_id: str) -> list[dict]:
+    """Per-op + grand-total metrics rollup over the pass's checkpoint task
+    records (SURVEY §2.4: the engine's one legitimate ``rollup`` — the
+    reference has no grouping sets at all). The NULL-op row is the pass
+    total. O(tasks) input, read distributed."""
+    paths = sorted(globlib.glob(os.path.join(
+        table.meta_dir, "checkpoints", f"*{pass_id}*.jsonl")))
+    if not paths:
+        return []
+    recs = spark.read.json(paths).filter(F.col("task_id") != "__pass__")
+    rolled = (recs.rollup("op")
+              .agg(F.count(F.lit(1)).alias("tasks"),
+                   F.sum("rows").alias("rows"),
+                   F.sum("bytes").alias("bytes"),
+                   F.max("skew_factor").alias("max_skew"))
+              .orderBy(F.col("op").asc_nulls_last()))
+    return [r.asDict() for r in rolled.collect()]
 
 
 # ------------------------------------------------------------------- pipeline
@@ -247,9 +371,10 @@ def run_maintenance(spark: SparkSession, table: Table,
                     target_bytes: int = DEFAULT_TARGET_BYTES,
                     strategy: str = "zorder",
                     keep_last: int = 2,
-                    grace_seconds: float = 0.0,
+                    grace_seconds: float = 3600.0,
                     pass_id: str | None = None,
-                    separate_compaction: bool = True) -> dict:
+                    separate_compaction: bool = True,
+                    collect_metrics: bool = True) -> dict:
     """The full pass benchmarked in bench.py: impute-MERGE → compact →
     cluster → rewrite manifests → expire snapshots → orphan sweep.
 
@@ -258,21 +383,20 @@ def run_maintenance(spark: SparkSession, table: Table,
     one full-data rewrite instead of two. A real deployment runs compaction
     on its own cadence (cheap, incremental) and clustering rarely (full
     rewrite); a single maintenance pass that does both should not pay twice.
+
+    ``grace_seconds`` defaults to an hour: files staged by concurrent passes
+    are unprotected until their checkpoint record lands, so an immediate
+    sweep (0.0) is only safe when the caller knows no other writer is live
+    (the bench does, and passes 0 explicitly).
     """
     from .merge import impute_merge
-    from .scan import scan
-    from .skew import hot_keys
     pass_id = pass_id or uuid.uuid4().hex[:8]
     out: dict = {"pass_id": pass_id}
-    # hot-conversation report (salted aggregation path, engine.skew): the
-    # per-pass skew metric the checkpoint manifests record, and the input to
-    # any manual salting decision. O(distinct hot convs) on the driver.
-    hot = hot_keys(scan(spark, table)).collect()
-    out["hot_conversations"] = len(hot)
-    out["hot_max_turns"] = max((r["hot_count"] for r in hot), default=0)
     t0 = time.time()
+    # hot-conversation skew report (engine.skew) comes out of the merge
+    # pass's cached context frame — not a second full-table scan
     impute_merge(spark, table, pass_id=f"{pass_id}-merge",
-                 target_bytes=target_bytes)
+                 target_bytes=target_bytes, stats_out=out)
     out["merge_s"] = round(time.time() - t0, 3)
     t0 = time.time()
     if separate_compaction:
@@ -289,4 +413,6 @@ def run_maintenance(spark: SparkSession, table: Table,
     orphans = sweep_orphans(spark, table, grace_seconds=grace_seconds)
     out["expired_snapshots"] = len(expired)
     out["orphans_removed"] = len(orphans)
+    if collect_metrics:
+        out["metrics"] = maintenance_metrics(spark, table, pass_id)
     return out

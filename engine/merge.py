@@ -6,10 +6,14 @@ top-k similar tuples → score aggregation → best value
 ``codes/search/retrieve_relevant_values.py:104-231``,
 ``codes/utils/match_row.py:98-126``), then the estimation fallback
 (``codes/estimation/estimator.py:139-240``). The per-cell Python loop becomes
-ONE dataflow: worklist ⟕ broadcast(candidate index) → deterministic top-1 →
+ONE dataflow: worklist ⟕ candidate index → deterministic top-1 →
 coalesce(index value, estimation value) — the "search vs estimate" classifier
 (``codes/classification/classifier.py:63-105``) collapses into that coalesce,
 exactly the higher-confidence-source rule it learns (technique_report Table 8).
+
+Scale shape: every wide stage (context window, index aggregation, probe join)
+carries md5 sigs, never raw text; the winning text payloads are fetched at the
+end with ONE broadcast-keyed join against the table, O(worklist) rows.
 
 The MERGE itself is copy-on-write under snapshot isolation: only data files
 whose stats intersect the source's key domain are rewritten; everything else
@@ -19,6 +23,7 @@ is carried over by manifest reference. Resumable via checkpoint manifests.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,19 +33,35 @@ from .checkpoint import CheckpointLog, TaskRecord
 from .format import DataFile, Snapshot, Table, collect_parquet_stats
 from .index import _with_context, build_candidate_index, key_families
 from .scan import Predicate, prune_files, scan
-from .write import stage_dataframe
+from .write import range_bounds_from_entries, stage_dataframe
+
+def _tmark(label: str, t0: float) -> float:
+    """ENGINE_TIMING=1 phase marks (stderr) — cheap observability for the
+    bench loop; off by default."""
+    now = time.time()
+    if os.environ.get("ENGINE_TIMING"):
+        import sys
+        print(f"ENGINE_TIMING {label} {now - t0:.2f}", file=sys.stderr,
+              flush=True)
+    return now
+
 
 MERGE_KEYS = ("conv_id", "turn_idx")
 _MAX_IN_SET = 100_000  # above this, fall back to min/max range pruning
+# auto broadcast gate: above this many source rows, let AQE pick the join
+# side instead of forcing a broadcast (at 100 TB a 1% worklist carrying
+# upd_text strings is tens of GB — see plan_impute_updates' scale notes)
+BROADCAST_MAX_ROWS = 2_000_000
 
 
 # --------------------------------------------------------------------- impute
 def worklist(ctx: DataFrame) -> DataFrame:
     """Rows with a missing role/tool/text cell — the analog of the
-    reference's ``missing_tab_row_col.csv`` worklist."""
-    w = ctx.filter(F.col("role").isNull() | F.col("text").isNull()
-                   | (F.col("tool").isNull() & (F.col("role") == "tool")))
-    return w.withColumn("turn_mod", F.pmod(F.col("turn_idx"), F.lit(12)))
+    reference's ``missing_tab_row_col.csv`` worklist. ``ctx`` is the lean
+    context frame (``engine.index._with_context``); text nullness survives
+    as ``text_sig IS NULL`` (md5 of null is null)."""
+    return ctx.filter(F.col("role").isNull() | F.col("text_sig").isNull()
+                      | (F.col("tool").isNull() & (F.col("role") == "tool")))
 
 
 def melt_cells(work: DataFrame) -> DataFrame:
@@ -56,16 +77,20 @@ def melt_cells(work: DataFrame) -> DataFrame:
 def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
                         fallbacks: DataFrame | None = None,
                         ctx: DataFrame | None = None,
-                        work: DataFrame | None = None) -> DataFrame:
+                        work: DataFrame | None = None,
+                        _cache_out: list | None = None) -> DataFrame:
     """Worklist = rows with a missing role/tool/text cell (the analog of
     ``missing_tab_row_col.csv``); output = updates keyed (conv_id, turn_idx)
     with ``upd_*`` values and ``src_*`` provenance tags
     ('index' | 'estimate' — the scenario buckets of
     ``codes/evaluate/total_evaluate.py:159-174``).
 
-    All joins broadcast the small side; the only wide shuffle is the context
-    window over conv_id, shared (via the persisted ``ctx``) with the index
-    build."""
+    The probe is a shuffle equi-join of the melted cell set against the
+    rank-1 index (broadcasting the multi-million-row index was the worst-
+    scaling stage of the pass: the broadcast build is serial driver work).
+    Text values — index winners AND the nearest-turn estimation fallback —
+    are fetched with ONE broadcast-keyed join against the table, O(worklist)
+    rows, so no wide stage ever carries text payloads."""
     if ctx is None:
         ctx = _with_context(df)
 
@@ -76,23 +101,20 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
         # over the full table runs ONCE, not once per branch
         work = worklist(ctx).persist()
 
-    # ONE broadcast join for all key families: the worklist at cell grain
+    # ONE join for all key families: the worklist at cell grain
     # (column_name, key) joins the index once and pivots back. Per-family
-    # broadcast joins would schedule one build-side job each — pure serial
-    # stage latency at any scale (the reference pays the same shape of cost
+    # joins would schedule one build-side job each — pure serial stage
+    # latency at any scale (the reference pays the same shape of cost
     # probing its per-dtype indexes one by one, construct_index.py:284-313).
     keyed = list(key_families())
     cells = melt_cells(work)
-    # broadcast measured faster than a shuffle-hash hint here (the persisted
-    # index serializes once); at 100 TB the index is GBs — drop the explicit
-    # broadcast there and let AQE pick the join side
-    hits = (cells.join(F.broadcast(
-                cand_idx.filter(F.col("rank") == 1)
-                .select("column_name", "key", "candidate")),
-            ["column_name", "key"], "inner")
+    rank1 = (cand_idx.filter(F.col("rank") == 1)
+             .select("column_name", "key", "candidate",
+                     "ptr_conv", "ptr_turn"))
+    hits = (cells.join(rank1, ["column_name", "key"], "inner")
             .groupBy("conv_id", "turn_idx")
             .pivot("column_name", keyed)
-            .agg(F.first("candidate")))
+            .agg(F.first(F.struct("candidate", "ptr_conv", "ptr_turn"))))
     for k in keyed:
         hits = hits.withColumnRenamed(k, f"cand_{k}")
     work = work.join(hits, ["conv_id", "turn_idx"], "left")
@@ -102,85 +124,129 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     # key (exact tuple match), which beats the two-neighbor context key,
     # which beats single-neighbor keys
     work = (work
-            .withColumn("cand_role",
+            .withColumn("cand_role_v",
                         F.coalesce(F.when(F.col("tool").isNotNull(),
                                           F.lit("tool")),
-                                   F.col("cand_role_text"),
-                                   F.col("cand_role")))
-            .withColumn("cand_text",
+                                   F.col("cand_role_text.candidate"),
+                                   F.col("cand_role.candidate")))
+            .withColumn("cand_tool_v", F.col("cand_tool.candidate"))
+            .withColumn("cand_text_ptr",
                         F.coalesce(F.col("cand_text"),
                                    F.col("cand_text_prev"),
                                    F.col("cand_text_next"))))
+    # the probed worklist feeds TWO consumers (the text-fetch request set
+    # below — built as a broadcast, i.e. a separate job — and the final
+    # update projection): persist it or the index probe join runs twice.
+    # O(worklist) rows, so the cache is tiny.
+    work = work.persist()
+    if _cache_out is not None:
+        _cache_out.append(work)
 
-    # nearest-turn copy is the text estimation fallback (FIXTURES.md §6):
-    # fetched with a keyed join of the worklist's ±1 neighbors against the
-    # table — O(worklist) rows, instead of carrying every row's raw neighbor
-    # texts through the context window (3× the text bytes of the table)
-    nbr_keys = (work.filter(F.col("text").isNull())
-                .select("conv_id", F.col("turn_idx").alias("orig_turn"))
-                .withColumn("turn_idx",
-                            F.explode(F.array(F.col("orig_turn") - 1,
-                                              F.col("orig_turn") + 1))))
-    nbr_text = (F.broadcast(nbr_keys)
-                .join(ctx.select("conv_id", "turn_idx", "text"),
-                      ["conv_id", "turn_idx"], "inner")
-                .filter(F.col("text").isNotNull())
-                .groupBy("conv_id", F.col("orig_turn").alias("turn_idx"))
-                .agg(F.max(F.when(F.col("turn_idx") < F.col("orig_turn"),
-                                  F.col("text"))).alias("prev_text"),
-                     F.max(F.when(F.col("turn_idx") > F.col("orig_turn"),
-                                  F.col("text"))).alias("next_text")))
-    work = work.join(nbr_text, ["conv_id", "turn_idx"], "left")
+    # ONE text-fetch join resolves (a) the index winner's donor pointer and
+    # (b) the ±1-neighbor estimation fallback (FIXTURES.md §6) — a keyed
+    # worklist-sized request set probed against a column-pruned scan of the
+    # table (conv_id, turn_idx, text): O(worklist) rows fetched, never a
+    # full-text shuffle.
+    text_missing = F.col("text_sig").isNull()
+    need = work.filter(text_missing).select(
+        "conv_id", "turn_idx", "cand_text_ptr")
+    req = need.select(
+        "conv_id", "turn_idx",
+        F.explode(F.array(
+            F.struct(F.coalesce(F.col("cand_text_ptr.ptr_conv"),
+                                F.lit("")).alias("s_conv"),
+                     F.coalesce(F.col("cand_text_ptr.ptr_turn"),
+                                F.lit(-1)).alias("s_turn"),
+                     F.lit("cand").alias("kind")),
+            F.struct(F.col("conv_id").alias("s_conv"),
+                     (F.col("turn_idx") - 1).alias("s_turn"),
+                     F.lit("prev").alias("kind")),
+            F.struct(F.col("conv_id").alias("s_conv"),
+                     (F.col("turn_idx") + 1).alias("s_turn"),
+                     F.lit("next").alias("kind")),
+        )).alias("r")).select("conv_id", "turn_idx", "r.s_conv", "r.s_turn",
+                              "r.kind")
+    donor = df.select(F.col("conv_id").alias("s_conv"),
+                      F.col("turn_idx").alias("s_turn"), "text")
+    fetched = (F.broadcast(req)
+               .join(donor, ["s_conv", "s_turn"], "inner")
+               .filter(F.col("text").isNotNull())
+               .groupBy("conv_id", "turn_idx")
+               .agg(F.max(F.when(F.col("kind") == "cand", F.col("text")))
+                    .alias("cand_text_val"),
+                    F.max(F.when(F.col("kind") == "prev", F.col("text")))
+                    .alias("prev_text"),
+                    F.max(F.when(F.col("kind") == "next", F.col("text")))
+                    .alias("next_text")))
+    work = work.join(fetched, ["conv_id", "turn_idx"], "left")
 
-    est_role = F.coalesce(F.col("cand_role_fb"), F.lit("assistant"))
+    est_role = F.coalesce(F.col("cand_role_fb.candidate"), F.lit("assistant"))
     # a turn needs a tool value only if its (possibly imputed) role is 'tool'
-    eff_role = F.coalesce(F.col("role"), F.col("cand_role"), est_role)
-    est_tool = F.coalesce(F.col("cand_tool_fb"), F.lit("search"))
+    eff_role = F.coalesce(F.col("role"), F.col("cand_role_v"), est_role)
+    est_tool = F.coalesce(F.col("cand_tool_fb.candidate"), F.lit("search"))
     est_text = F.coalesce(F.col("prev_text"), F.col("next_text"),
                           F.lit("[unrecoverable]"))
 
     upd = work.select(
         "conv_id", "turn_idx",
         F.when(F.col("role").isNull(),
-               F.coalesce(F.col("cand_role"), est_role)).alias("upd_role"),
+               F.coalesce(F.col("cand_role_v"), est_role)).alias("upd_role"),
         F.when(F.col("role").isNull(),
-               F.when(F.col("cand_role").isNotNull(), F.lit("index"))
+               F.when(F.col("cand_role_v").isNotNull(), F.lit("index"))
                .otherwise(F.lit("estimate"))).alias("src_role"),
         F.when(F.col("tool").isNull() & (eff_role == "tool"),
-               F.coalesce(F.col("cand_tool"), est_tool)).alias("upd_tool"),
+               F.coalesce(F.col("cand_tool_v"), est_tool)).alias("upd_tool"),
         F.when(F.col("tool").isNull() & (eff_role == "tool"),
-               F.when(F.col("cand_tool").isNotNull(), F.lit("index"))
+               F.when(F.col("cand_tool_v").isNotNull(), F.lit("index"))
                .otherwise(F.lit("estimate"))).alias("src_tool"),
-        F.when(F.col("text").isNull(),
-               F.coalesce(F.col("cand_text"), est_text)).alias("upd_text"),
-        F.when(F.col("text").isNull(),
-               F.when(F.col("cand_text").isNotNull(), F.lit("index"))
+        F.when(text_missing,
+               F.coalesce(F.col("cand_text_val"), est_text)).alias("upd_text"),
+        F.when(text_missing,
+               F.when(F.col("cand_text_val").isNotNull(), F.lit("index"))
                .otherwise(F.lit("estimate"))).alias("src_text"),
     )
     return upd
 
 
 # ---------------------------------------------------------------- merge into
-def _source_predicates(source: DataFrame) -> list[Predicate]:
-    """File-pruning predicates from the source's conv_id domain: an IN-set
+def _source_predicates(source: DataFrame) -> tuple[list[Predicate], int]:
+    """File-pruning predicates from the source's conv_id domain — an IN-set
     when the domain is small (collected on the driver, O(distinct keys)),
-    else a min/max range. At 10^12 turns the IN-set path still holds for
-    targeted merges (one batch of late conversations), and the range path
-    bounds the worst case."""
-    keys = [r[0] for r in
-            source.select("conv_id").distinct().limit(_MAX_IN_SET + 1)
-            .collect()]
-    if len(keys) <= _MAX_IN_SET:
-        return [Predicate("conv_id", "in", sorted(keys))]
-    agg = source.agg(F.min("conv_id"), F.max("conv_id")).collect()[0]
-    return [Predicate("conv_id", "ge", agg[0]),
-            Predicate("conv_id", "le", agg[1])]
+    else a min/max range — plus the source row count, piggybacked on the
+    same job (it gates the rewrite-join broadcast; a separate count() would
+    be one more driver-sequenced pass over the source pipeline). At 10^12
+    turns the IN-set path still holds for targeted merges (one batch of late
+    conversations), and the range path bounds the worst case."""
+    rows = (source.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+            .limit(_MAX_IN_SET + 1).collect())
+    if len(rows) <= _MAX_IN_SET:
+        return ([Predicate("conv_id", "in", sorted(r[0] for r in rows))],
+                sum(r[1] for r in rows))
+    agg = source.agg(F.min("conv_id"), F.max("conv_id"),
+                     F.count(F.lit(1))).collect()[0]
+    return ([Predicate("conv_id", "ge", agg[0]),
+             Predicate("conv_id", "le", agg[1])], agg[2])
+
+
+def _adopt_crashed_commit(table: Table, ckpt: CheckpointLog,
+                          pass_id: str) -> Snapshot | None:
+    """If a previous run committed this pass's snapshot but died before
+    writing the checkpoint finalize record, adopt that snapshot instead of
+    re-committing (a re-commit would add the staged files under a SECOND
+    manifest while removing the already-removed inputs — duplicate rows on
+    scan). Reachable in routine streaming restarts (ingest_batch replays a
+    batch through merge_into with the same pass_id)."""
+    for s in reversed(table.snapshots()):
+        if s.summary.get("pass_id") == pass_id:
+            ckpt.finalize({"snapshot_id": s.snapshot_id, "adopted": True})
+            return s
+    return None
 
 
 def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                update_map: dict[str, str],
                pass_id: str | None = None,
-               broadcast_source: bool = True,
+               broadcast_source: bool | None = None,
                num_files: int | None = None,
                target_bytes: int = 128 * 1024 * 1024) -> Snapshot:
     """MERGE INTO table USING source ON (conv_id, turn_idx)
@@ -190,25 +256,40 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     "leave unchanged", giving cell-grain updates like the reference's
     ground-truth lookup join, ``codes/estimation/row_acquisitor.py:1087-1089``).
 
-    Copy-on-write: prune target files by source key domain, rewrite only
-    those, carry the rest. Checkpointed: if the process dies after staging
-    but before the snapshot swap, a rerun with the same ``pass_id`` reuses the
-    staged files and just commits (byte-identical table state).
+    ``broadcast_source=None`` (default) size-gates the broadcast on the
+    materialized source row count (≤ BROADCAST_MAX_ROWS); pass True/False to
+    force. Copy-on-write: prune target files by source key domain, rewrite
+    only those, carry the rest. The rewrite is range-partitioned WITHOUT a
+    sampling pass: partition bounds come from the affected files' manifest
+    stats (driver-side, O(files)), so the expensive merge join runs exactly
+    once. Checkpointed: if the process dies after staging but before the
+    snapshot swap, a rerun with the same ``pass_id`` reuses the staged files
+    and just commits (byte-identical table state); if it dies after the swap
+    but before the checkpoint finalize, the rerun adopts the committed
+    snapshot instead of double-committing.
     """
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "merge")
     if ckpt.pass_committed():
         return table.current_snapshot()
+    adopted = _adopt_crashed_commit(table, ckpt, pass_id)
+    if adopted is not None:
+        return adopted
 
     # the source pipeline (index build → keyed joins → updates) is consumed
-    # up to 4× below (predicate collect, broadcast, range sampling, write);
-    # without persisting it every consumer re-runs the whole DAG — the
-    # single biggest serial cost in the maintenance pass
+    # twice below (predicate collect, rewrite probe); without persisting it
+    # every consumer re-runs the whole DAG — the single biggest serial cost
+    # in the maintenance pass
     source = source.persist()
+    t0 = time.time()
+    preds, n_src = _source_predicates(source)
+    t0 = _tmark("merge.source_pipeline", t0)
+    if broadcast_source is None:
+        broadcast_source = n_src <= BROADCAST_MAX_ROWS
 
     snap = table.current_snapshot()
     entries = table.manifest_entries(snap)
-    affected = prune_files(entries, _source_predicates(source))
+    affected = prune_files(entries, preds)
     affected_paths = [e.path for e in affected]
 
     rec = ckpt.get("rewrite")
@@ -239,17 +320,20 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
         out = joined.select(*out_cols)
         # Output file count derives from DATA SIZE (not core count, not scan
         # partitioning — both vary with parallelism and would make the
-        # rewrite non-deterministic across cluster sizes). The explicit
-        # range exchange costs one sampling pass but keeps every output
-        # file's (conv_id, turn_idx) span tight for manifest pruning.
+        # rewrite non-deterministic across cluster sizes). Range bounds come
+        # from the affected files' manifest stats, so there is NO sampling
+        # job — repartitionByRange would compute the merge join twice.
         if num_files is None:
             in_bytes = sum(e.file_size_bytes for e in affected)
             num_files = max(1, round(in_bytes / target_bytes))
             if in_bytes > (1 << 20):
                 num_files = max(num_files, 16)
+        bounds = range_bounds_from_entries(affected, num_files, "conv_id")
         staged = stage_dataframe(table, out, num_files=num_files,
                                  range_cols=list(MERGE_KEYS),
-                                 sort_cols=list(MERGE_KEYS))
+                                 sort_cols=list(MERGE_KEYS),
+                                 bounds=bounds)
+        t0 = _tmark("merge.rewrite_stage", t0)
         rows = sum(e.record_count for e in staged)
         mean_rows = rows / max(1, len(staged))
         skew = (max((e.record_count for e in staged), default=0)
@@ -264,6 +348,7 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     new_snap = table.commit("merge", added=staged,
                             removed_paths=set(affected_paths),
                             summary={"pass_id": pass_id})
+    _tmark("merge.commit", t0)
     ckpt.finalize({"snapshot_id": new_snap.snapshot_id})
     source.unpersist()
     return new_snap
@@ -272,18 +357,23 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
 def impute_merge(spark: SparkSession, table: Table,
                  pass_id: str | None = None,
                  cand_idx: DataFrame | None = None,
-                 target_bytes: int = 128 * 1024 * 1024) -> Snapshot:
+                 target_bytes: int = 128 * 1024 * 1024,
+                 stats_out: dict | None = None) -> Snapshot:
     """The flagship maintenance stage: scan → candidate index → planned
     updates → copy-on-write MERGE. One wide shuffle (conv windows), one
-    broadcast join per imputed column, one CoW rewrite."""
+    index aggregation, one probe join, one CoW rewrite.
+
+    ``stats_out`` (optional dict) receives the hot-conversation skew report
+    (engine.skew.hot_keys) computed from the already-persisted context frame
+    — a narrow agg over cached sig-rows instead of a second full table
+    scan."""
     df = scan(spark, table)
-    # ONE materialization of the wide conv-window pipeline, shared by the
+    # ONE materialization of the lean conv-window pipeline, shared by the
     # index build and the update plan (Catalyst has no cross-branch subtree
     # reuse; without this the windows run 2-6×). MEMORY_AND_DISK: at real
     # scale the context spills instead of recomputing — both are fine, the
     # knob exists for the cluster profile.
     from pyspark import StorageLevel
-    _ = StorageLevel  # ctx caching toggle below
     import os as _os
     if _os.environ.get("ENGINE_CTX_CACHE", "1") == "1":
         ctx = _with_context(df).persist(StorageLevel.MEMORY_AND_DISK)
@@ -291,23 +381,43 @@ def impute_merge(spark: SparkSession, table: Table,
         ctx = _with_context(df)
     work = worklist(ctx).persist()
     if cand_idx is None:
-        # full index build: map-side partial aggregation already collapses
-        # the exploded pairs before the shuffle, so the probe_keys pruning
-        # mode (see build_candidate_index) measured SLOWER here — it adds a
-        # worklist materialization barrier for shuffle the combiner had
-        # already eliminated. Revisit only if key cardinality ever rivals
-        # row count.
-        cand_idx = build_candidate_index(df, ctx=ctx)
-    # the broadcast build side materializes as a separate job — persist so
-    # the index pipeline runs once, not once per consumer
+        # merge-pass index: rank-1 only (k=1 — double partial agg, no window
+        # sort). probe_keys pruning measured SLOWER here: map-side partial
+        # aggregation already collapses the exploded pairs, and the pruning
+        # adds a worklist materialization barrier. Revisit only if key
+        # cardinality ever rivals row count.
+        cand_idx = build_candidate_index(df, k=1, ctx=ctx)
     cand_idx = cand_idx.persist()
-    updates = plan_impute_updates(df, cand_idx, ctx=ctx, work=work)
+    inner_caches: list = []
+    updates = plan_impute_updates(df, cand_idx, ctx=ctx, work=work,
+                                  _cache_out=inner_caches)
     update_map = {"role": "upd_role", "tool": "upd_tool", "text": "upd_text"}
     src = updates.select("conv_id", "turn_idx",
                          "upd_role", "upd_tool", "upd_text")
+    hot_future = pool = None
+    if stats_out is not None:
+        # materialize the source pipeline first (fills the ctx cache), then
+        # OVERLAP the skew report with the rewrite: both are Spark jobs, so
+        # the scheduler interleaves their tasks instead of the report being
+        # serial wall-clock after the pass
+        from concurrent.futures import ThreadPoolExecutor
+        from .skew import hot_keys
+        src = src.persist()
+        inner_caches.append(src)
+        t0 = time.time()
+        src.count()
+        _tmark("impute.src_materialize", t0)
+        pool = ThreadPoolExecutor(max_workers=1)
+        hot_future = pool.submit(lambda: hot_keys(ctx).collect())
     snap = merge_into(spark, table, src, update_map, pass_id=pass_id,
                       target_bytes=target_bytes)
-    for frame in (cand_idx, work, ctx):
+    if hot_future is not None:
+        hot = hot_future.result()
+        pool.shutdown()
+        stats_out["hot_conversations"] = len(hot)
+        stats_out["hot_max_turns"] = max((r["hot_count"] for r in hot),
+                                         default=0)
+    for frame in (cand_idx, work, ctx, *inner_caches):
         frame.unpersist()
     return snap
 

@@ -56,12 +56,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        n: int = 1) -> DataFrame:
+                        n: int = 1,
+                        stop_df_ratio: float = 0.01,
+                        stop_df_min: int = 64) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via an inverted-index join
     (explode → self-equi-join on gram → count ∩ → |A∪B| from per-doc sizes).
     Never materializes the doc×doc cross product; the join key is the gram,
-    so common-gram skew is bounded by dropping ultra-frequent grams (df > 1%
-    of corpus) — standard stop-gram pruning."""
+    so common-gram skew is bounded by dropping ultra-frequent grams
+    (document frequency > max(stop_df_ratio × corpus, stop_df_min)) BEFORE
+    the self-join — standard stop-gram pruning: one hot token ("the") would
+    otherwise make the gram join quadratic in matching docs (the reference's
+    >10k-row pre-filter plays the same role,
+    ``codes/search/retrieve_relevant_values.py:197-198``). Jaccard is then
+    computed over the pruned gram universe on BOTH sides of the ratio, so
+    results stay internally consistent (and oracle-mirrorable); set
+    ``stop_df_ratio=1.0`` with a huge ``stop_df_min`` for exact semantics on
+    small corpora."""
     base = docs.select(F.col(id_col).alias("id"),
                        tokens(text_col).alias("toks"))
     if n > 1:
@@ -71,6 +81,17 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
                    f" i -> array_join(slice(toks, i, {n}), ' '))"))
     grams = base.select("id",
                         F.explode(F.array_distinct("toks")).alias("g"))
+    # stop-gram pruning: hot grams are FEW by construction (high-df), so the
+    # anti-join side broadcasts; the corpus count rides a broadcast too,
+    # keeping the whole plan one lazy dataflow
+    ndocs = docs.select(F.count(F.lit(1)).alias("__nd"))
+    hot = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+           .crossJoin(F.broadcast(ndocs))
+           .filter(F.col("__df") > F.greatest(
+               F.col("__nd") * F.lit(stop_df_ratio),
+               F.lit(float(stop_df_min))))
+           .select("g"))
+    grams = grams.join(F.broadcast(hot), "g", "left_anti")
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -219,13 +240,44 @@ def simhash_dedup(docs: DataFrame, id_col: str = "doc_id",
 # -------------------------------------------------------------- embedding dup
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dups. Exact form is a self-join; at corpus scale
-    use ``engine.ops.similarity.lsh_bucket`` blocking first. Cosine is pure
+                            vec_col: str = "embedding",
+                            exact: bool = False,
+                            num_planes: int = 8, tables: int = 4,
+                            seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Default is LSH-bucketed: candidates
+    come from random-hyperplane bucket equi-joins
+    (``engine.ops.similarity.lsh_bucket``, one bucket column per hash
+    table), exact cosine verifies candidates only — never a cross join, so
+    the pair space is O(Σ bucket²) not O(n²). Recall vs the exact path is
+    pytest-asserted (tests/test_ops.py); more ``tables`` buys recall without
+    touching per-table bucket sizes.
+
+    ``exact=True`` is the all-pairs baseline (and the DuckDB-oracle path at
+    sf0.01): a self-join on id_a < id_b — O(n²), opt-in only. Cosine is pure
     Spark SQL (zip_with + aggregate) — stays in codegen, no UDF."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        from .similarity import lsh_bucket
+        ba = lsh_bucket(emb.select(F.col(id_col).alias("id_a"),
+                                   F.col(vec_col).alias("va")),
+                        num_planes=num_planes, seed=seed, tables=tables,
+                        vec_col="va")
+        bb = lsh_bucket(emb.select(F.col(id_col).alias("id_b"),
+                                   F.col(vec_col).alias("vb")),
+                        num_planes=num_planes, seed=seed, tables=tables,
+                        vec_col="vb")
+        cands = None
+        for t in range(tables):
+            c = (ba.select("id_a", "va", f"bucket_{t}")
+                 .join(bb.select("id_b", "vb", f"bucket_{t}"),
+                       f"bucket_{t}")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "va", "id_b", "vb"))
+            cands = c if cands is None else cands.unionByName(c)
+        pairs = cands.dropDuplicates(["id_a", "id_b"])
     cos = _cosine(F.col("va"), F.col("vb"))
     return (pairs.withColumn("cosine", F.round(cos, 6))
             .filter(F.col("cosine") >= threshold)

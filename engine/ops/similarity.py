@@ -46,29 +46,39 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cosine", "rk"))
 
 
-def _make_bucket_udf(num_planes: int, dim: int, seed: int, table: int):
-    planes = np.random.RandomState(seed + table).randn(num_planes, dim)
+def _make_bucket_udf(num_planes: int, seed: int, table: int,
+                     dim: int | None = None):
+    planes_box: dict = {}
+    if dim is not None:
+        planes_box[dim] = np.random.RandomState(seed + table).randn(
+            num_planes, dim)
 
     @pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.vstack(vecs.to_numpy())              # (rows, dim)
-        bits = (m @ planes.T) > 0                   # (rows, planes)
+        d = m.shape[1]
+        if d not in planes_box:
+            # planes derived lazily from the batch's width: deterministic
+            # (seeded), identical on every executor/batch — no dim plumbing
+            planes_box[d] = np.random.RandomState(seed + table).randn(
+                num_planes, d)
+        bits = (m @ planes_box[d].T) > 0            # (rows, planes)
         weights = (1 << np.arange(num_planes)).astype(np.int64)
         return pd.Series(bits.astype(np.int64) @ weights)
 
     return bucket
 
 
-def lsh_bucket(emb: DataFrame, num_planes: int = 8, dim: int = 16,
+def lsh_bucket(emb: DataFrame, num_planes: int = 8, dim: int | None = None,
                seed: int = 42, tables: int = 2,
                vec_col: str = "embedding") -> DataFrame:
     """Attach ``tables`` random-hyperplane bucket ids; near vectors collide in
     at least one table with high probability. One vectorized matrix multiply
-    per Arrow batch."""
+    per Arrow batch; ``dim`` is optional (inferred per batch)."""
     out = emb
     for t in range(tables):
         out = out.withColumn(f"bucket_{t}",
-                             _make_bucket_udf(num_planes, dim, seed, t)(
+                             _make_bucket_udf(num_planes, seed, t, dim)(
                                  F.col(vec_col)))
     return out
 

@@ -636,3 +636,83 @@ def impute_mean(spark, sf):
                             .otherwise(F.col("value")), 4)
                     .alias("final_value"),
                     "is_masked"))
+
+
+# U3 — grouped applyInPandas estimation fallback (engine.estimate): per-user
+# ffill→bfill of masked values under stable (ts, event_id) ordering. The
+# oracle expresses the same semantics with IGNORE NULLS window frames.
+# Reference: the per-table imputation loop, row_acquisitor.py:282-405.
+@register("u3_group_ffill", """
+WITH masked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+              THEN NULL ELSE value END AS vm
+  FROM events)
+SELECT event_id,
+       round(coalesce(vm,
+             last_value(vm IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             first_value(vm IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+             4) AS filled
+FROM masked
+""")
+def u3_ffill(spark, sf):
+    from .estimate import group_ffill
+    e = _t(spark, sf, "events")
+    masked = e.select(
+        "event_id", "user_id", "ts",
+        F.when(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+               == "0", F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("vm"))
+    filled = group_ffill(masked, group_cols=("user_id",),
+                         order_cols=("ts", "event_id"), fill_cols=("vm",))
+    return filled.select("event_id", F.round("vm", 4).alias("filled"))
+
+
+# U9 — generalized FD check: det → dep holds iff
+# countDistinct(det) == countDistinct(det, dep) (the reference mines these
+# with a Metanome subprocess, codes/fd_tools/generate_fds.py:62-72; here it
+# is one aggregation pass — pure SQL, no JVM sidecar).
+@register("u9_fd_check", """
+WITH m AS (SELECT
+    count(DISTINCT o_orderkey) AS d1,
+    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_custkey
+                           FROM orders)) AS p1,
+    count(DISTINCT o_custkey) AS d2,
+    (SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderpriority
+                           FROM orders)) AS p2,
+    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_totalprice
+                           FROM orders)) AS p3
+  FROM orders)
+SELECT 'o_orderkey' AS det, 'o_custkey' AS dep, d1 AS n_det, p1 AS n_pair,
+       CAST(d1 = p1 AS INT) AS holds FROM m
+UNION ALL SELECT 'o_custkey', 'o_orderpriority', d2, p2,
+       CAST(d2 = p2 AS INT) FROM m
+UNION ALL SELECT 'o_orderkey', 'o_totalprice', d1, p3,
+       CAST(d1 = p3 AS INT) FROM m
+""")
+def u9_fd(spark, sf):
+    o = _t(spark, sf, "orders")
+    m = o.agg(
+        F.countDistinct("o_orderkey").alias("d1"),
+        F.countDistinct("o_orderkey", "o_custkey").alias("p1"),
+        F.countDistinct("o_custkey").alias("d2"),
+        F.countDistinct("o_custkey", "o_orderpriority").alias("p2"),
+        F.countDistinct("o_orderkey", "o_totalprice").alias("p3"))
+    fds = F.array(
+        F.struct(F.lit("o_orderkey").alias("det"),
+                 F.lit("o_custkey").alias("dep"),
+                 F.col("d1").alias("n_det"), F.col("p1").alias("n_pair")),
+        F.struct(F.lit("o_custkey").alias("det"),
+                 F.lit("o_orderpriority").alias("dep"),
+                 F.col("d2").alias("n_det"), F.col("p2").alias("n_pair")),
+        F.struct(F.lit("o_orderkey").alias("det"),
+                 F.lit("o_totalprice").alias("dep"),
+                 F.col("d1").alias("n_det"), F.col("p3").alias("n_pair")))
+    return (m.select(F.explode(fds).alias("f"))
+            .select("f.det", "f.dep", "f.n_det", "f.n_pair",
+                    (F.col("f.n_det") == F.col("f.n_pair")).cast("int")
+                    .alias("holds")))

@@ -27,11 +27,15 @@ def dedup_exact(spark, sf):
     return exact_dedup(_t(spark, sf, "documents"))
 
 
-# ── n-gram (token) Jaccard near-dup pairs ───────────────────────────────────
+# ── n-gram (token) Jaccard near-dup pairs (with stop-gram pruning) ──────────
 @register("dedup_token_jaccard", f"""
-WITH grams AS (
+WITH grams0 AS (
   SELECT doc_id AS id, unnest(list_distinct({_TOKS_SQL})) AS g
   FROM documents),
+hot AS (
+  SELECT g FROM grams0 GROUP BY g
+  HAVING count(*) > greatest((SELECT count(*) FROM documents) * 0.01, 64.0)),
+grams AS (SELECT * FROM grams0 ANTI JOIN hot USING (g)),
 sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
@@ -101,8 +105,32 @@ def dedup_lsh(spark, sf):
                              bands=4, threshold=0.9)
 
 
-# ── SimHash blocking (Spark-only: vectorized-numpy signature) ───────────────
-@register("dedup_simhash")
+# ── SimHash blocking ────────────────────────────────────────────────────────
+# The Arrow-vectorized signature IS SQL-expressible: the UDF's per-token
+# 64-bit hash equals DuckDB's md5_number_upper (little-endian first 8 md5
+# bytes — verified), so the oracle replays the full weighted bit-vote.
+def _simhash_sql(prefix_bits: int = 16) -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(64))
+    sim = " + ".join(
+        f"(CASE WHEN v{k} > 0 THEN CAST({1 << k} AS UBIGINT) "
+        f"ELSE CAST(0 AS UBIGINT) END)" for k in range(64))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents),
+hs AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id),
+sims AS (SELECT doc_id, ({sim}) AS s FROM votes)
+SELECT CAST(s >> {64 - prefix_bits} AS BIGINT) AS block,
+       count(*) AS n, min(doc_id) AS keep_id
+FROM sims GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+@register("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf):
     from .ops.dedup import simhash_dedup
     return simhash_dedup(_t(spark, sf, "documents"))
@@ -122,7 +150,12 @@ def dedup_embedding(spark, sf):
     from .ops.dedup import embedding_neardup_pairs
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
-    return embedding_neardup_pairs(emb, threshold=0.5)
+    # exact=True IS the point of this entry: the all-pairs baseline the
+    # DuckDB oracle can verify bit-for-bit. The scale path is the default
+    # (exact=False: LSH-bucketed candidates, no cross join) — covered by
+    # tests/test_ops.py recall + plan assertions instead of an oracle
+    # (seeded hyperplanes have no SQL analog).
+    return embedding_neardup_pairs(emb, threshold=0.5, exact=True)
 
 
 # ── brute-force cosine top-k (ANN baseline) ─────────────────────────────────
@@ -260,8 +293,18 @@ def mm_meta(spark, sf):
                     "digest"))
 
 
-# ── multimodal feature extraction (Spark-only: mapInPandas + stub codec) ────
-@register("multimodal_features")
+# ── multimodal feature extraction (mapInPandas + stub codec) ────────────────
+# Oracled on everything EXCEPT the seeded feature vector (dropped here):
+# n_bytes/digest are plain octet_length/md5, DuckDB-exact — this verifies the
+# whole mapInPandas Arrow path end-to-end, not just the metadata projection.
+@register("multimodal_features", """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+""")
 def mm_features(spark, sf):
     from .ops.multimodal import extract_features, synthesize_media
     media = synthesize_media(_t(spark, sf, "documents"))

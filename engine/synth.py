@@ -119,6 +119,20 @@ def generate_transcripts(spark: SparkSession, num_convs: int = 200,
                     "role", "text", "tool", "ts")
 
 
+def conv_bounds(num_convs: int, num_files: int) -> list[str]:
+    """Analytic range-partition boundaries for the synthetic conv_id space —
+    lets the initial append use the sampling-free bounds path of
+    ``engine.write.stage_dataframe`` with a layout that is byte-identical at
+    every parallelism level (repartitionByRange's sampler sees different
+    parent partitionings at different core counts)."""
+    out = []
+    for i in range(1, num_files):
+        b = f"conv-{int(i * num_convs / num_files):08d}"
+        if not out or b > out[-1]:
+            out.append(b)
+    return out
+
+
 def inject_missing(df: DataFrame, frac: float = 0.01,
                    seed: int = 42) -> tuple[DataFrame, DataFrame]:
     """Null out ~``frac`` of role/tool/text cells; return (injected, worklist).

@@ -3,6 +3,19 @@
 Replaces the reference's bare ``to_csv`` sinks
 (``codes/utils/inject_missing_values.py:69,77``) with immutable Parquet files
 registered in a manifest under an atomic snapshot commit.
+
+Range layout without sampling: ``repartitionByRange`` runs a separate
+sampling job that COMPUTES THE PARENT PLAN TWICE — fatal when the parent is
+the merge join. When the caller already knows the key distribution (manifest
+stats of the files being rewritten), ``bounds=`` partitions with a
+driver-derived boundary list instead: a binary-search CASE expression maps
+each row to a partition id (pure codegen, log₂(files) comparisons/row), and a
+precomputed representative value per partition makes Spark's hash partitioner
+place it exactly (pmod(murmur3(rep), n) == pid by construction). One pass,
+no sampling, deterministic at every parallelism level. At ~10⁶ output files
+the CASE expression would outgrow codegen — there the planner would split
+the rewrite into per-manifest jobs long before (each bounded in files), so
+the boundary list stays small per job.
 """
 
 from __future__ import annotations
@@ -12,25 +25,122 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from .format import DataFile, Snapshot, Table
+
+
+def _murmur3_32(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashLong (Catalyst HashExpression seed=42),
+    reimplemented so partition representatives can be solved driver-side
+    without a Spark job. Verified against F.hash in tests/test_write.py."""
+    mask = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & mask
+
+    h1 = seed & mask
+    v &= 0xFFFFFFFFFFFFFFFF
+    for block in (v & mask, (v >> 32) & mask):
+        k1 = (block * 0xCC9E2D51) & mask
+        k1 = rotl(k1, 15)
+        k1 = (k1 * 0x1B873593) & mask
+        h1 ^= k1
+        h1 = rotl(h1, 13)
+        h1 = (h1 * 5 + 0xE6546B64) & mask
+    h1 ^= 8  # byte length of a long
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & mask
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & mask
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def partition_reps(num_buckets: int) -> list[int]:
+    """reps[j] = smallest long whose Spark hash-partition over num_buckets
+    is j. Driver-side O(n log n) expected probes."""
+    reps: list[int | None] = [None] * num_buckets
+    found, i = 0, 0
+    while found < num_buckets:
+        j = _murmur3_32(i) % num_buckets
+        if reps[j] is None:
+            reps[j] = i
+            found += 1
+        i += 1
+    return reps  # type: ignore[return-value]
+
+
+def bucket_expr(col: Column, bounds: list) -> Column:
+    """Partition id in [0, len(bounds)] for a sorted boundary list: a
+    balanced CASE tree (binary search, pure codegen). pid p holds rows with
+    bounds[p-1] <= col < bounds[p]."""
+    def build(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (F.when(col < F.lit(bounds[mid]), build(lo, mid))
+                .otherwise(build(mid + 1, hi)))
+    return build(0, len(bounds))
+
+
+def range_bounds_from_entries(entries: list[DataFile], num_files: int,
+                              col: str = "conv_id") -> list | None:
+    """Row-balanced range boundaries for ``col`` derived from manifest
+    min/max stats — O(files) driver work, no data read, deterministic at
+    every parallelism level. Returns None if any file lacks stats (caller
+    falls back to sampling)."""
+    if num_files <= 1:
+        return []
+    stats = []
+    for e in entries:
+        st = e.stats.get(col) or {}
+        if st.get("min") is None:
+            return None
+        stats.append((str(st["min"]), e.record_count))
+    stats.sort()
+    total = sum(n for _, n in stats)
+    if total == 0:
+        return []
+    per = total / num_files
+    bounds: list[str] = []
+    cum = 0
+    for mn, n in stats:
+        if cum >= per * (len(bounds) + 1) and len(bounds) < num_files - 1:
+            if not bounds or mn > bounds[-1]:
+                bounds.append(mn)
+        cum += n
+    return bounds
 
 
 def stage_dataframe(table: Table, df: DataFrame,
                     num_files: int | None = None,
                     range_cols: list[str] | None = None,
-                    sort_cols: list[str] | None = None) -> list[DataFile]:
+                    sort_cols: list[str] | None = None,
+                    bounds: list | None = None) -> list[DataFile]:
     """Write ``df`` to a staging dir, move the parts into data/, return
     manifest entries (NOT yet committed — callers compose commits, which is
     what makes multi-step maintenance passes resumable).
 
-    Layout control: ``repartitionByRange(num_files, *range_cols)`` gives
-    contiguous key ranges per file → tight per-file min/max stats → effective
-    scan pruning. At 100 TB this is the difference between touching 40 files
-    and 400 000 for a single-conversation query.
+    Layout control: contiguous key ranges per file → tight per-file min/max
+    stats → effective scan pruning. At 100 TB this is the difference between
+    touching 40 files and 400 000 for a single-conversation query. With
+    ``bounds`` (see module docstring) the range exchange needs no sampling
+    pass; without it, ``repartitionByRange`` samples (computing the parent
+    plan a second time — acceptable only when the parent is a cheap scan).
     """
-    if num_files and range_cols:
+    if num_files and range_cols and bounds is not None:
+        nb = len(bounds) + 1
+        if bounds:
+            pid = bucket_expr(F.col(range_cols[0]), bounds)
+            reps = partition_reps(nb)
+            rep = F.element_at(
+                F.array(*[F.lit(r).cast("long") for r in reps]), pid + 1)
+            df = df.repartition(nb, rep)
+        else:
+            df = df.coalesce(1)
+    elif num_files and range_cols:
         df = df.repartitionByRange(num_files, *range_cols)
     elif num_files:
         df = df.repartition(num_files)
@@ -48,6 +158,8 @@ def append(table: Table, df: DataFrame,
            num_files: int | None = None,
            range_cols: list[str] | None = None,
            sort_cols: list[str] | None = None,
-           summary: dict | None = None) -> Snapshot:
-    entries = stage_dataframe(table, df, num_files, range_cols, sort_cols)
+           summary: dict | None = None,
+           bounds: list | None = None) -> Snapshot:
+    entries = stage_dataframe(table, df, num_files, range_cols, sort_cols,
+                              bounds=bounds)
     return table.commit("append", added=entries, summary=summary)

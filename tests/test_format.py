@@ -79,3 +79,20 @@ def test_commit_is_atomic_via_version_hint(spark, tmp_table_root):
     assert meta["current_snapshot_id"] == t.current_snapshot().snapshot_id
     # older metadata versions remain readable (time travel on metadata)
     assert t.load_metadata(v - 1)["version"] == v - 1
+
+
+def test_truncate_upper_carries_past_max_chars():
+    from engine.format import _MAX_BOUND_LEN, _truncate_upper
+    long_tail = "a" * (_MAX_BOUND_LEN - 1)
+    # last char at U+10FFFF: carry into the previous char
+    v = long_tail + chr(0x10FFFF) + "suffix"
+    out = _truncate_upper(v)
+    assert out == "a" * (_MAX_BOUND_LEN - 2) + "b"
+    assert out > v[:len(out)] or v.startswith(out[:-1])
+    # bumping U+D7FF must skip the surrogate block
+    v2 = "a" * (_MAX_BOUND_LEN - 1) + chr(0xD7FF) + "x"
+    out2 = _truncate_upper(v2)
+    assert out2[-1] == chr(0xE000) and out2 > v2[:_MAX_BOUND_LEN]
+    # every char maxed → no representable upper bound
+    v3 = chr(0x10FFFF) * (_MAX_BOUND_LEN + 1)
+    assert _truncate_upper(v3) is None

@@ -161,3 +161,54 @@ def test_full_maintenance_pipeline(spark, tmp_table_root):
             == sorted_rows(df.join(keys, ["conv_id", "turn_idx"],
                                    "left_anti")))
     assert res["orphans_removed"] >= 0
+
+
+def test_maintenance_metrics_rollup_total_equals_task_sum(
+        spark, tmp_table_root):
+    from engine.maintain import maintenance_metrics
+    from engine.synth import inject_missing
+    df = generate_transcripts(spark, num_convs=40)
+    injected, _ = inject_missing(df)
+    t = Table.create(tmp_table_root)
+    append(t, injected, num_files=8, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    out = run_maintenance(spark, t, target_bytes=1 << 20, pass_id="mm")
+    rolled = out["metrics"]
+    assert rolled, "rollup missing from run_maintenance output"
+    total = [r for r in rolled if r["op"] is None]
+    per_op = [r for r in rolled if r["op"] is not None]
+    assert len(total) == 1
+    assert total[0]["rows"] == sum(r["rows"] for r in per_op)
+    assert total[0]["tasks"] == sum(r["tasks"] for r in per_op)
+
+
+def test_sweep_distributed_matches_local(spark, tmp_table_root):
+    """The Spark-side sweep (manifests + listing + anti-join all
+    distributed) must select exactly the same orphans as the driver-local
+    fast path, and leave referenced + grace-protected files alone."""
+    import time as _time
+    t, df = _setup(spark, tmp_table_root, convs=20, files=4)
+    # plant orphans: files in data/ referenced by no snapshot
+    orphans = set()
+    for i in range(300):
+        p = os.path.join(t.data_dir, f"orphan-{i:05d}.parquet")
+        with open(p, "wb") as f:
+            f.write(b"junk")
+        old = _time.time() - 7200
+        os.utime(p, (old, old))
+        orphans.add(os.path.join("data", f"orphan-{i:05d}.parquet"))
+    local = sweep_orphans(spark, t, grace_seconds=3600, dry_run=True,
+                          distributed=False)
+    dist = sweep_orphans(spark, t, grace_seconds=3600, dry_run=True,
+                         distributed=True)
+    assert local == dist == sorted(orphans)
+    # grace window protects fresh files in both modes
+    fresh = os.path.join(t.data_dir, "orphan-fresh.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"junk")
+    assert "data/orphan-fresh.parquet" not in set(
+        sweep_orphans(spark, t, grace_seconds=3600, dry_run=True,
+                      distributed=True))
+    removed = sweep_orphans(spark, t, grace_seconds=3600, distributed=True)
+    assert set(removed) == orphans
+    assert sorted_rows(scan(spark, t))  # table still scans fine

@@ -155,3 +155,39 @@ def test_merge_prunes_unaffected_files(spark, tmp_table_root):
     merge_into(spark, t, src, {"text": "new_text"}, pass_id="tiny")
     after = {e.path for e in t.manifest_entries()}
     assert len(before & after) > 0  # most files carried over untouched
+
+
+def test_resume_after_commit_before_finalize_does_not_duplicate(
+        spark, tmp_table_root):
+    """Crash in the window between snapshot commit and checkpoint finalize:
+    the rerun must ADOPT the committed snapshot, not re-commit the staged
+    files (which would double-reference them → duplicate rows on scan)."""
+    t, df, injected, wl = _setup(spark, tmp_table_root, convs=30)
+    before_rows = scan(spark, t).count()
+    real_finalize = __import__("engine.checkpoint",
+                               fromlist=["CheckpointLog"]).CheckpointLog
+    orig = real_finalize.finalize
+    calls = {"n": 0}
+
+    def exploding_finalize(self, extra=None):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash after commit, before finalize")
+
+    real_finalize.finalize = exploding_finalize
+    try:
+        try:
+            impute_merge(spark, t, pass_id="half")
+        except RuntimeError:
+            pass
+    finally:
+        real_finalize.finalize = orig
+    assert calls["n"] >= 1
+    committed = t.current_snapshot()
+    assert committed.summary.get("pass_id") == "half-rewrite" or \
+        committed.summary.get("pass_id") == "half"
+    # rerun with the same pass id: adopts, no new snapshot, no row dup
+    snap = impute_merge(spark, t, pass_id="half")
+    assert snap.snapshot_id == committed.snapshot_id
+    out = scan(spark, t)
+    assert out.count() == before_rows
+    assert out.select("conv_id", "turn_idx").distinct().count() == before_rows

@@ -41,7 +41,10 @@ def test_minhash_lsh_finds_exact_dups_and_agrees_with_jaccard(spark, docs):
     # cap disabled: this corpus is one giant near-dup cluster, exactly the
     # degenerate-bucket shape the cap exists to drop
     lsh = dedup.minhash_lsh_pairs(docs, threshold=0.9, max_bucket=None)
-    exact = dedup.token_jaccard_pairs(docs, threshold=0.9)
+    # pruning disabled: LSH verifies candidates with UNPRUNED jaccard, so
+    # the subset reference must share that universe
+    exact = dedup.token_jaccard_pairs(docs, threshold=0.9,
+                                      stop_df_ratio=1.0, stop_df_min=10 ** 9)
     # LSH candidates are verified with exact jaccard → subset of exact pairs
     assert lsh.join(exact, ["id_a", "id_b"], "left_anti").count() == 0
     # recall at 0.9 should be high for 16 perms / 4 bands
@@ -175,3 +178,50 @@ def test_multimodal_features_deterministic(spark, docs):
     b = multimodal.extract_features(media.repartition(7)) \
         .select("media_id", "digest")
     assert a.exceptAll(b).count() == 0
+
+
+def test_stop_gram_pruning_bounds_candidate_pairs(spark):
+    """One ubiquitous token must not create O(n²) candidate pairs: with
+    pruning on, 200 docs sharing only 'the' produce ZERO pairs; with pruning
+    disabled the same corpus explodes to n(n-1)/2 (the quadratic shape the
+    docstring forbids)."""
+    d = spark.createDataFrame([(i, f"the uniq{i}") for i in range(200)],
+                              ["doc_id", "text"])
+    pruned = dedup.token_jaccard_pairs(d, threshold=0.3, stop_df_min=2)
+    assert pruned.count() == 0
+    full = dedup.token_jaccard_pairs(d, threshold=0.3, stop_df_ratio=1.0,
+                                     stop_df_min=10 ** 9)
+    assert full.count() == 200 * 199 // 2
+
+
+def test_embedding_neardup_blocked_recall_vs_exact(spark):
+    """Default (LSH-bucketed) near-dup must recover near-dup clusters that
+    the exact all-pairs path finds, and never emit a pair the exact path
+    wouldn't (verification is exact within candidates)."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    centers = rng.randn(20, 16)
+    rows = []
+    for i in range(200):
+        v = centers[i % 20] + 0.03 * rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_neardup_pairs(
+                 e, threshold=0.95, exact=True).collect()}
+    blocked = {(r["id_a"], r["id_b"])
+               for r in dedup.embedding_neardup_pairs(
+                   e, threshold=0.95).collect()}
+    assert blocked <= exact
+    assert exact and len(blocked & exact) / len(exact) >= 0.9
+
+
+def test_embedding_neardup_default_plan_has_no_cross_join(spark, emb):
+    from .test_plans import plan_of
+    blocked = plan_of(dedup.embedding_neardup_pairs(emb, threshold=0.95))
+    assert "CartesianProduct" not in blocked
+    assert "BroadcastNestedLoopJoin" not in blocked
+    exact = plan_of(dedup.embedding_neardup_pairs(emb, threshold=0.95,
+                                                  exact=True))
+    assert ("CartesianProduct" in exact
+            or "BroadcastNestedLoopJoin" in exact)  # the opt-in baseline
