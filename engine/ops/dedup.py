@@ -53,12 +53,26 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 
 # ------------------------------------------------------------- ngram jaccard
+def char_qgrams(col, q: int = 2):
+    """Character q-grams of the normalized string — the reference's literal
+    T1 similarity unit (``codes/utils/match_row.py:45-51`` uses character
+    2-grams via nltk.ngrams). Guarded for strings shorter than q (Spark's
+    sequence(1,0) would count DOWN)."""
+    norm = normalized_text(col) if isinstance(col, str) else col
+    return F.when(
+        F.length(norm) >= q,
+        F.transform(F.sequence(F.lit(1), F.length(norm) - (q - 1)),
+                    lambda i: F.substring(norm, i, q))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
                         id_col: str = "doc_id",
                         text_col: str = "text",
                         n: int = 1,
                         stop_df_ratio: float = 0.01,
-                        stop_df_min: int = 64) -> DataFrame:
+                        stop_df_min: int = 64,
+                        unit: str = "token") -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via an inverted-index join
     (explode → self-equi-join on gram → count ∩ → |A∪B| from per-doc sizes).
     Never materializes the doc×doc cross product; the join key is the gram,
@@ -71,14 +85,24 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     computed over the pruned gram universe on BOTH sides of the ratio, so
     results stay internally consistent (and oracle-mirrorable); set
     ``stop_df_ratio=1.0`` with a huge ``stop_df_min`` for exact semantics on
-    small corpora."""
-    base = docs.select(F.col(id_col).alias("id"),
-                       tokens(text_col).alias("toks"))
-    if n > 1:
-        base = base.withColumn(
-            "toks",
-            F.expr(f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
-                   f" i -> array_join(slice(toks, i, {n}), ' '))"))
+    small corpora.
+
+    ``unit="char"`` switches to character q-grams of length ``n`` (the
+    reference's T1 unit, match_row.py:45-51) — meant for SHORT strings (cell
+    values, titles): with a ~1.3k-gram alphabet at q=2 every gram is hot, so
+    stop-gram pruning should be disabled there and the input pre-deduped
+    (the reference compares cell values, not whole documents)."""
+    if unit == "char":
+        base = docs.select(F.col(id_col).alias("id"),
+                           char_qgrams(text_col, q=max(2, n)).alias("toks"))
+    else:
+        base = docs.select(F.col(id_col).alias("id"),
+                           tokens(text_col).alias("toks"))
+        if n > 1:
+            base = base.withColumn(
+                "toks",
+                F.expr(f"transform(sequence(1, greatest(size(toks) - {n - 1},"
+                       f" 0)), i -> array_join(slice(toks, i, {n}), ' '))"))
     grams = base.select("id",
                         F.explode(F.array_distinct("toks")).alias("g"))
     # stop-gram pruning: hot grams are FEW by construction (high-df), so the

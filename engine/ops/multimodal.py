@@ -111,8 +111,13 @@ def extract_features(media: DataFrame, dim: int = 8,
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
-    """Pure-metadata projection — never touches payload bytes (verify with
-    .explain(): ReadSchema excludes the binary column)."""
+    """Metadata projection: n_bytes/digest ARE computed from the payload
+    column (length + md5 — Catalyst cannot prune the binary out of this
+    scan), but the payload never survives past the projection, so no join,
+    shuffle, or cache downstream carries blobs. A production table would
+    precompute n_bytes/digest at write time and make this a true
+    metadata-only read; with the synthesized media table the read is the
+    point."""
     return media.select("media_id", "kind", "meta_format",
                         F.length("payload").alias("n_bytes"),
                         F.md5("payload").alias("digest"))

@@ -68,8 +68,11 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit-count language ID: argmax over per-language stopword hits
-    with deterministic ties (language name asc). n-gram-free heuristic that
-    is exactly SQL-expressible (driver oracle verifies vs DuckDB)."""
+    with deterministic ties (language name DESC — reverse(array_sort)[0]
+    sorts ascending on (hits, lang) and takes the last element, so equal hit
+    counts resolve to the lexicographically larger language; the DuckDB
+    oracle mirrors exactly this). n-gram-free heuristic that is exactly
+    SQL-expressible."""
     toks = tokens(text_col)
     scores = []
     for lang, words in sorted(STOPWORDS.items()):
@@ -78,8 +81,6 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.struct(F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
                      .alias("hits"),
                      F.lit(lang).alias("lang")))
-    # max_by over (hits, -lang): array_max on struct orders by first field,
-    # ties by second — invert lang for asc tiebreak via sort+reverse instead
     best = F.reverse(F.array_sort(F.array(*scores)))[0]
     return docs.withColumn("lang_pred",
                            F.when(best["hits"] > 0, best["lang"])

@@ -672,6 +672,53 @@ def u3_ffill(spark, sf):
     return filled.select("event_id", F.round("vm", 4).alias("filled"))
 
 
+# P6 — stats-driven sparse-column prune (row_acquisitor.py:739-743,
+# fill_missing_values.py:89-100): per-column non-null ratios decide survival.
+# A deterministic md5 mask makes `value` 93.75% null, so it must be dropped.
+@register("p6_sparse_prune", """
+WITH masked AS (
+  SELECT event_id, user_id,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) != 'f'
+              THEN NULL ELSE value END AS value
+  FROM events)
+SELECT 'event_id' AS column_name,
+       round(count(event_id) * 1.0 / count(*), 6) AS non_null_ratio,
+       CAST(count(event_id) * 1.0 / count(*) >= 0.2 AS INT) AS kept
+FROM masked
+UNION ALL SELECT 'user_id', round(count(user_id) * 1.0 / count(*), 6),
+       CAST(count(user_id) * 1.0 / count(*) >= 0.2 AS INT) FROM masked
+UNION ALL SELECT 'value', round(count(value) * 1.0 / count(*), 6),
+       CAST(count(value) * 1.0 / count(*) >= 0.2 AS INT) FROM masked
+""")
+def p6_sparse(spark, sf):
+    from .estimate import column_null_profile
+    e = _t(spark, sf, "events")
+    masked = e.select(
+        "event_id", "user_id",
+        F.when(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+               != "f", F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"))
+    prof = column_null_profile(masked)
+    return prof.select("column_name", "non_null_ratio",
+                       (F.col("non_null_ratio") >= 0.2).cast("int")
+                       .alias("kept"))
+
+
+# W4 — top-k tables by hit count (retrieve_relevant_tables.py:477):
+# rank candidate "tables" (brands) by how many probes (lineitems) hit them.
+@register("w4_topk_by_hits", """
+SELECT p.p_brand AS brand, count(*) AS hits FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY hits DESC, brand LIMIT 10
+""")
+def w4_topk(spark, sf):
+    li, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .orderBy(F.desc("hits"), F.asc("brand")).limit(10))
+
+
 # U9 — generalized FD check: det → dep holds iff
 # countDistinct(det) == countDistinct(det, dep) (the reference mines these
 # with a Metanome subprocess, codes/fd_tools/generate_fds.py:62-72; here it

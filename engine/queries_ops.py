@@ -52,6 +52,41 @@ def dedup_jaccard(spark, sf):
     return token_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
 
 
+# ── character q-gram Jaccard (reference T1: match_row.py:45-51) ─────────────
+# Over short cell values (distinct source tags) — the grain the reference
+# scores; pruning off (tiny alphabet → every gram is "hot" by design).
+_SRC_NORM = ("trim(regexp_replace(regexp_replace(lower(id), "
+             "'[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))")
+
+
+@register("t1_char_qgram", f"""
+WITH vals AS (SELECT DISTINCT source AS id FROM documents
+              WHERE source IS NOT NULL),
+grams AS (
+  SELECT id, unnest(list_distinct(
+    [substr(t, i, 2) for i in generate_series(1, greatest(length(t)-1, 0))]))
+    AS g
+  FROM (SELECT id, {_SRC_NORM} AS t FROM vals)),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+          GROUP BY a.id, b.id)
+SELECT i.id_a, i.id_b,
+       round(i.common * 1.0 / (sa.sz + sb.sz - i.common), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.id
+             JOIN sizes sb ON i.id_b = sb.id
+WHERE i.common * 1.0 / (sa.sz + sb.sz - i.common) >= 0.5
+""")
+def t1_char(spark, sf):
+    from .ops.dedup import token_jaccard_pairs
+    vals = (_t(spark, sf, "documents")
+            .filter(F.col("source").isNotNull())
+            .select(F.col("source").alias("doc_id")).distinct())
+    return token_jaccard_pairs(vals, threshold=0.5, text_col="doc_id",
+                               unit="char", n=2,
+                               stop_df_ratio=1.0, stop_df_min=10 ** 9)
+
+
 # ── MinHash + LSH banding near-dup (verified candidates) ────────────────────
 def _minhash_sql(num_perm: int = 16) -> str:
     mins = ",\n       ".join(

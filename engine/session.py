@@ -65,6 +65,11 @@ def get_spark(app: str = "transcript-lakehouse",
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.files.maxPartitionBytes", "134217728")
          .config("spark.sql.parquet.filterPushdown", "true")
+         # cached frames here are consumed 2-3× then dropped: the columnar
+         # cache builder's compression passes cost more than they save
+         # (ctx fill measured ~20% faster uncompressed); flip per-workload
+         # on a memory-constrained cluster
+         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
          # INT96 timestamps carry no parquet stats → no ts-based file pruning;
          # micros keep min/max in footers (and are the modern default anyway)
          .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -185,9 +185,19 @@ def test_maintenance_metrics_rollup_total_equals_task_sum(
 def test_sweep_distributed_matches_local(spark, tmp_table_root):
     """The Spark-side sweep (manifests + listing + anti-join all
     distributed) must select exactly the same orphans as the driver-local
-    fast path, and leave referenced + grace-protected files alone."""
+    fast path, and leave referenced + grace-protected files alone. The
+    referenced set is padded to 10k manifest entries so the distributed
+    path is exercised at a scale where a driver-side set would already be
+    the wrong design."""
     import time as _time
+    from engine.format import DataFile
     t, df = _setup(spark, tmp_table_root, convs=20, files=4)
+    # pad the metadata tree: 10k extra referenced entries across manifests
+    # (entries need not exist on disk — the sweep only deletes LISTED files)
+    pre_pad = t.current_snapshot().snapshot_id
+    pad = [DataFile(f"data/pad-{i:06d}.parquet", 1, 1, {})
+           for i in range(10_000)]
+    t.commit("append", added=pad, summary={"pad": True})
     # plant orphans: files in data/ referenced by no snapshot
     orphans = set()
     for i in range(300):
@@ -211,4 +221,5 @@ def test_sweep_distributed_matches_local(spark, tmp_table_root):
                       distributed=True))
     removed = sweep_orphans(spark, t, grace_seconds=3600, distributed=True)
     assert set(removed) == orphans
-    assert sorted_rows(scan(spark, t))  # table still scans fine
+    # real (pre-pad) snapshot still scans fine — nothing referenced was swept
+    assert sorted_rows(scan(spark, t, snapshot_id=pre_pad))

@@ -106,3 +106,39 @@ def test_agg_has_partial_hash_aggregate(spark):
           .groupBy("l_returnflag").agg(F.sum("l_quantity")))
     p = plan_of(df)
     assert p.count("HashAggregate") >= 2
+
+
+def test_merge_rewrite_broadcast_is_size_gated(spark):
+    """merge_into auto-gates the source broadcast: the non-broadcast plan
+    (what a >BROADCAST_MAX_ROWS source gets) must not force a
+    BroadcastExchange on the source side."""
+    from engine.merge import build_rewrite
+    from engine.synth import generate_transcripts
+    from pyspark.sql import functions as F
+    tgt = generate_transcripts(spark, num_convs=20)
+    src = tgt.select("conv_id", "turn_idx",
+                     F.lit("X").alias("upd_text")).limit(50)
+    auto_off = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = plan_of(build_rewrite(tgt, src, {"text": "upd_text"},
+                                      broadcast_source=False))
+        forced = plan_of(build_rewrite(tgt, src, {"text": "upd_text"},
+                                       broadcast_source=True))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto_off)
+    assert "BroadcastExchange" not in gated
+    assert "BroadcastExchange" in forced
+
+
+def test_scored_pairs_is_hash_aggregate(spark):
+    """The widest aggregation of the merge pass must stay a HashAggregate:
+    a string/struct-typed aggregate buffer (e.g. a min(pointer)) silently
+    demotes it to a SortAggregate over the full exploded pair set (+2.5×
+    measured). Guard the regression."""
+    from engine.index import _scored_pairs, _with_context
+    from engine.synth import generate_transcripts
+    p = plan_of(_scored_pairs(_with_context(
+        generate_transcripts(spark, num_convs=5))))
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
