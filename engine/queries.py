@@ -638,6 +638,43 @@ def impute_mean(spark, sf):
                     "is_masked"))
 
 
+# U6 — imputation method variety (fill_missing_values.py:48-259 dispatches 9
+# methods by dtype; estimator.py:146-151 is the dtype→method contract).
+# Median is the robust-numeric family: same MERGE shape as impute_mean_merge,
+# per-(user, event_type) exact interpolated median of surviving cells.
+@register("impute_median_merge", """
+WITH masked AS (
+  SELECT event_id, user_id, event_type, value,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' AS is_masked
+  FROM events),
+stats AS (
+  SELECT user_id, event_type, median(value) AS med_val
+  FROM masked WHERE NOT is_masked GROUP BY user_id, event_type)
+SELECT m.event_id,
+       round(CASE WHEN m.is_masked THEN coalesce(s.med_val, 0.0)
+                  ELSE m.value END, 4) AS final_value,
+       m.is_masked
+FROM masked m LEFT JOIN stats s
+  ON m.user_id = s.user_id AND m.event_type = s.event_type
+""")
+def impute_median(spark, sf):
+    e = _t(spark, sf, "events")
+    masked = e.select(
+        "event_id", "user_id", "event_type", "value",
+        (F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0")
+        .alias("is_masked"))
+    stats = (masked.filter(~F.col("is_masked"))
+             .groupBy("user_id", "event_type")
+             .agg(F.percentile("value", F.lit(0.5)).alias("med_val")))
+    return (masked.join(stats, ["user_id", "event_type"], "left")
+            .select("event_id",
+                    F.round(F.when(F.col("is_masked"),
+                                   F.coalesce(F.col("med_val"), F.lit(0.0)))
+                            .otherwise(F.col("value")), 4)
+                    .alias("final_value"),
+                    "is_masked"))
+
+
 # U3 — grouped applyInPandas estimation fallback (engine.estimate): per-user
 # ffill→bfill of masked values under stable (ts, event_id) ordering. The
 # oracle expresses the same semantics with IGNORE NULLS window frames.

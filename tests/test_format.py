@@ -96,3 +96,37 @@ def test_truncate_upper_carries_past_max_chars():
     # every char maxed → no representable upper bound
     v3 = chr(0x10FFFF) * (_MAX_BOUND_LEN + 1)
     assert _truncate_upper(v3) is None
+
+
+def test_metadata_planning_stays_fast_at_100k_files():
+    """Driver-side planning must be O(files) with small constants: at 10^12
+    turns the metadata tree is ~100k files per manifest group, and planning
+    happens on every pass. Budget: well under a second each."""
+    import time
+
+    from engine.format import DataFile
+    from engine.maintain import plan_compaction
+    from engine.scan import Predicate, prune_files
+    from engine.write import range_bounds_from_entries
+
+    entries = [DataFile(f"data/f{i:07d}.parquet", 100, 4000 + (i % 7) * 100,
+                        {"conv_id": {"min": f"c{i:07d}",
+                                     "max": f"c{i:07d}z"}})
+               for i in range(100_000)]
+    t0 = time.perf_counter()
+    groups = plan_compaction(entries, target_bytes=1 << 20)
+    t_compact = time.perf_counter() - t0
+    assert groups and t_compact < 1.5, t_compact
+
+    preds = [Predicate("conv_id", "in",
+                       sorted(f"c{i:07d}x" for i in range(0, 100_000, 97)))]
+    t0 = time.perf_counter()
+    kept = prune_files(entries, preds)
+    t_prune = time.perf_counter() - t0
+    # bisect planning: O(files × log keys); ~1/97 of files survive
+    assert 0 < len(kept) < 3000 and t_prune < 1.5, (len(kept), t_prune)
+
+    t0 = time.perf_counter()
+    bounds = range_bounds_from_entries(entries, 800, "conv_id")
+    t_bounds = time.perf_counter() - t0
+    assert len(bounds) == 799 and t_bounds < 1.5, t_bounds
