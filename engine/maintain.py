@@ -378,11 +378,13 @@ def run_maintenance(spark: SparkSession, table: Table,
     """The full pass benchmarked in bench.py: impute-MERGE → compact →
     cluster → rewrite manifests → expire snapshots → orphan sweep.
 
-    ``separate_compaction=False`` lets the clustering rewrite subsume
-    bin-packing (its range partitioner already packs to ``target_bytes``):
-    one full-data rewrite instead of two. A real deployment runs compaction
-    on its own cadence (cheap, incremental) and clustering rarely (full
-    rewrite); a single maintenance pass that does both should not pay twice.
+    ``separate_compaction=False`` FUSES the whole cadence into one rewrite:
+    the impute-MERGE stages its output in curve (Z-order/Hilbert) order
+    directly — valid because the merge never updates the curve dimensions —
+    so clustering and bin-packing cost zero extra passes (the second
+    full-data write was the worst-scaling stage of the pipeline). A real
+    deployment runs compaction on its own cadence (cheap, incremental) and
+    standalone clustering only for layout migrations.
 
     ``grace_seconds`` defaults to an hour: files staged by concurrent passes
     are unprotected until their checkpoint record lands, so an immediate
@@ -392,19 +394,22 @@ def run_maintenance(spark: SparkSession, table: Table,
     from .merge import impute_merge
     pass_id = pass_id or uuid.uuid4().hex[:8]
     out: dict = {"pass_id": pass_id}
+    fused = not separate_compaction
     t0 = time.time()
     # hot-conversation skew report (engine.skew) comes out of the merge
     # pass's cached context frame — not a second full-table scan
     impute_merge(spark, table, pass_id=f"{pass_id}-merge",
-                 target_bytes=target_bytes, stats_out=out)
+                 target_bytes=target_bytes, stats_out=out,
+                 curve=strategy if fused else None)
     out["merge_s"] = round(time.time() - t0, 3)
     t0 = time.time()
     if separate_compaction:
         compact(spark, table, target_bytes, pass_id=f"{pass_id}-compact")
     out["compact_s"] = round(time.time() - t0, 3)
     t0 = time.time()
-    cluster(spark, table, strategy, target_bytes,
-            pass_id=f"{pass_id}-cluster")
+    if not fused:
+        cluster(spark, table, strategy, target_bytes,
+                pass_id=f"{pass_id}-cluster")
     out["cluster_s"] = round(time.time() - t0, 3)
     t0 = time.time()
     rewrite_manifests(table)

@@ -267,7 +267,10 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                num_files: int | None = None,
                target_bytes: int = 128 * 1024 * 1024,
                predicates: list[Predicate] | None = None,
-               source_rows: int | None = None) -> Snapshot:
+               source_rows: int | None = None,
+               curve: str | None = None,
+               curve_bounds_list: list | None = None,
+               ts_bounds: tuple[int, int] | None = None) -> Snapshot:
     """MERGE INTO table USING source ON (conv_id, turn_idx)
     WHEN MATCHED THEN UPDATE SET col = coalesce(source.upd_col, col).
 
@@ -341,11 +344,27 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             num_files = max(1, round(in_bytes / target_bytes))
             if in_bytes > (1 << 20):
                 num_files = max(num_files, 16)
-        bounds = range_bounds_from_entries(affected, num_files, "conv_id")
-        staged = stage_dataframe(table, out, num_files=num_files,
-                                 range_cols=list(MERGE_KEYS),
-                                 sort_cols=list(MERGE_KEYS),
-                                 bounds=bounds)
+        if curve is not None:
+            # fused merge+cluster: the rewrite IS the clustering pass. The
+            # merge never updates conv_id/ts, so the curve-key distribution
+            # (hence the bounds) is identical pre- and post-merge — the
+            # caller computes bounds from the CHEAP pre-merge two-column
+            # scan, and the whole maintenance cadence pays ONE full rewrite
+            # instead of two (the second write was the worst-scaling stage
+            # of the pass).
+            from .layout import cluster_dataframe
+            out = cluster_dataframe(out, strategy=curve,
+                                    num_files=num_files,
+                                    ts_bounds=ts_bounds,
+                                    bounds=curve_bounds_list)
+            staged = stage_dataframe(table, out)
+        else:
+            bounds = range_bounds_from_entries(affected, num_files,
+                                               "conv_id")
+            staged = stage_dataframe(table, out, num_files=num_files,
+                                     range_cols=list(MERGE_KEYS),
+                                     sort_cols=list(MERGE_KEYS),
+                                     bounds=bounds)
         t0 = _tmark("merge.rewrite_stage", t0)
         rows = sum(e.record_count for e in staged)
         mean_rows = rows / max(1, len(staged))
@@ -371,7 +390,8 @@ def impute_merge(spark: SparkSession, table: Table,
                  pass_id: str | None = None,
                  cand_idx: DataFrame | None = None,
                  target_bytes: int = 128 * 1024 * 1024,
-                 stats_out: dict | None = None) -> Snapshot:
+                 stats_out: dict | None = None,
+                 curve: str | None = None) -> Snapshot:
     """The flagship maintenance stage: scan → candidate index → planned
     updates → copy-on-write MERGE. One wide shuffle (conv windows), one
     index aggregation, one probe join, one CoW rewrite.
@@ -429,11 +449,33 @@ def impute_merge(spark: SparkSession, table: Table,
         from .skew import hot_keys
         pool = ThreadPoolExecutor(max_workers=1)
         hot_future = pool.submit(lambda: hot_keys(ctx).collect())
+    curve_kw: dict = {}
+    if curve is not None:
+        # fused clustering (see merge_into): curve bounds from the PRE-merge
+        # table — a pruned (ts, conv_id) scan + quantile sketch, not a
+        # recompute of the merge join — valid because the merge never
+        # touches the curve dimensions
+        from .format import ts_bounds_micros
+        from .layout import curve_bounds
+        entries = table.manifest_entries()
+        in_bytes = sum(e.file_size_bytes for e in entries)
+        n_out = max(1, round(in_bytes / target_bytes))
+        if in_bytes > (1 << 20):
+            n_out = max(n_out, 16)
+        ts_b = ts_bounds_micros(entries)
+        t0 = time.time()
+        # rel_err 0.02 ≈ ±2% rows per file — imbalance noise, at a third of
+        # the sketch cost of the 0.003 default
+        cb = (curve_bounds(df, curve, n_out, ts_bounds=ts_b, rel_err=0.02)
+              if n_out > 1 else [])
+        _tmark("impute.curve_bounds", t0)
+        curve_kw = {"curve": curve, "curve_bounds_list": cb,
+                    "ts_bounds": ts_b, "num_files": n_out}
     # predicates=[]: the impute worklist spans most conversations, so
     # conv-domain pruning cannot drop a file — skip the derivation job
     snap = merge_into(spark, table, src, update_map, pass_id=pass_id,
                       target_bytes=target_bytes,
-                      predicates=[], source_rows=n_src)
+                      predicates=[], source_rows=n_src, **curve_kw)
     if hot_future is not None:
         hot = hot_future.result()
         pool.shutdown()

@@ -223,3 +223,34 @@ def test_sweep_distributed_matches_local(spark, tmp_table_root):
     assert set(removed) == orphans
     # real (pre-pad) snapshot still scans fine — nothing referenced was swept
     assert sorted_rows(scan(spark, t, snapshot_id=pre_pad))
+
+
+def test_fused_merge_cluster_matches_separate_pass(spark, tmp_path):
+    """separate_compaction=False fuses clustering into the MERGE rewrite
+    (one full write instead of two). Table content must be identical to the
+    separate-pass cadence, and the fused table must actually be curve-laid
+    (no follow-up cluster snapshot, yet tight per-file ts ranges)."""
+    from engine.synth import inject_missing
+
+    def build(root):
+        df = generate_transcripts(spark, num_convs=60)
+        injected, _ = inject_missing(df)
+        t = Table.create(root)
+        append(t, injected, num_files=8, range_cols=["conv_id", "turn_idx"],
+               sort_cols=["conv_id", "turn_idx"])
+        return t
+
+    t_sep = build(str(tmp_path / "sep"))
+    run_maintenance(spark, t_sep, target_bytes=1 << 18, pass_id="sep",
+                    separate_compaction=True)
+    t_fus = build(str(tmp_path / "fus"))
+    out = run_maintenance(spark, t_fus, target_bytes=1 << 14, pass_id="fus",
+                          separate_compaction=False)
+    assert out["cluster_s"] == 0.0
+    assert sorted_rows(scan(spark, t_fus)) == sorted_rows(scan(spark, t_sep))
+    ops = [s.operation for s in t_fus.snapshots()]
+    assert "cluster-zorder" not in ops  # the merge write IS the clustering
+    # curve layout materialized: multiple files, each with ts stats present
+    ents = t_fus.manifest_entries()
+    assert len(ents) > 1
+    assert all("ts" in e.stats and "min" in e.stats["ts"] for e in ents)
