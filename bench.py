@@ -172,11 +172,13 @@ def write_baseline_md(sf: float, lo: dict, hi: dict, full: dict,
         f.write(f"""# BENCH/BASELINE — maintenance throughput & N→4N scaling
 
 Metric (per BASELINE.json): **post-maintenance full-scan + MERGE throughput
-(turns/sec)**. Timed window = impute-MERGE → clustering rewrite (Z-order,
-subsumes bin-packing at this cadence) → manifest rewrite → snapshot expiry →
-orphan sweep → full scan, over a deterministic synthetic transcripts table
-(seeded; byte-identical input and file/partition counts at every parallelism
-level). Building the input table is setup (`write_s`, excluded).
+(turns/sec)**. Timed window = FUSED impute-MERGE (the copy-on-write rewrite
+stages its output directly in Z-order, so clustering and bin-packing are
+subsumed into the one full write — valid because the merge never updates the
+curve dimensions) → manifest rewrite → snapshot expiry → orphan sweep → full
+scan, over a deterministic synthetic transcripts table (seeded; identical
+input rows and file/partition counts at every parallelism level). Building
+the input table is setup (`write_s`, excluded).
 
 ## Hardware calibration (why N=2, 4N=8, and the measured ceiling)
 
@@ -219,13 +221,22 @@ resource this VM cannot scale past ~8 threads.
 
 - file/partition counts derived from data size, never core count (same work
   at every parallelism level)
-- Z-order key in pure Spark SQL bit-arithmetic (no Python workers in the
-  maintenance hot path; the pandas-UDF variant cost 2× at high thread counts)
-- persisted context/index/update frames (Catalyst has no cross-branch
-  common-subtree reuse; unpersisted, the conv-window pipeline ran up to 6×)
-- single melt/pivot broadcast probe instead of six per-column joins
-- parquet footer stats collected concurrently; committer v2 (no driver-serial
-  commitJob renames)
+- clustering FUSED into the MERGE rewrite: curve bounds from a pre-merge
+  two-column quantile scan; one full write per pass instead of two
+- raw text never rides a wide shuffle: the context window and index carry
+  md5 sigs; winning payloads are fetched by O(worklist) keyed joins
+- the widest aggregation is a count-only HashAggregate (a string/struct agg
+  buffer silently demotes it to a SortAggregate over the exploded pairs,
+  +2.5×); rank-1 selection is a second partial agg, not a window sort
+- every range exchange is sampling-free (manifest/quantile bounds + a
+  murmur3-solved representative per partition — repartitionByRange's sampler
+  recomputes the parent plan, fatal when the parent is the merge join)
+- Z-order key in pure Spark SQL bit-arithmetic; persisted shared frames only
+  where consumed 2+×; single-consumer frames deliberately NOT cached (the
+  columnar cache build costs more than the aggregation)
+- parquet footer stats collected concurrently; committer v2; hot-conversation
+  skew report overlapped with the rewrite; predicate job skipped when the
+  worklist provably spans the table
 - estimation fallbacks folded into the candidate index as two extra key
   families (no dedicated pipelines/broadcasts)
 

@@ -302,8 +302,38 @@ def text_fp(spark, sf):
     return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fp")
 
 
-# ── winnowing fingerprint (Spark-only: vectorized rolling hash) ─────────────
-@register("text_winnow_fingerprint")
+# ── winnowing fingerprint ───────────────────────────────────────────────────
+# The Arrow-vectorized rolling hash replayed in SQL: k-gram polynomial hashes
+# (base 257, K=5 — max value < 2^41, no wraparound), sliding-window (W=8)
+# minima, bit_xor reduce. ord(char) == byte code holds for ASCII corpora
+# (the synthetic documents table); the UDF hashes utf-8 BYTES, so a
+# non-ASCII corpus would need a byte-level oracle instead.
+@register("text_winnow_fingerprint", r"""
+WITH base AS (
+  SELECT doc_id, substr(lower(text), 1, 4096) AS t FROM documents),
+hs AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= 5 THEN
+      [ (ord(substr(t,i,1))*CAST(4362470401 AS UBIGINT)
+       + ord(substr(t,i+1,1))*CAST(16974593 AS UBIGINT)
+       + ord(substr(t,i+2,1))*CAST(66049 AS UBIGINT)
+       + ord(substr(t,i+3,1))*CAST(257 AS UBIGINT)
+       + ord(substr(t,i+4,1)))
+        for i in generate_series(1, length(t)-4) ]
+    ELSE NULL END AS h
+  FROM base),
+mins AS (
+  SELECT doc_id,
+    CASE WHEN h IS NULL THEN NULL
+         WHEN len(h) >= 8 THEN
+           [ list_min(h[i:i+7]) for i in generate_series(1, len(h)-7) ]
+         ELSE h END AS m
+  FROM hs)
+SELECT doc_id,
+  CASE WHEN m IS NULL THEN 0
+       ELSE CAST(list_aggregate(m, 'bit_xor') AS BIGINT) END AS winnow_fp
+FROM mins
+""")
 def text_winnow(spark, sf):
     from .ops.textstats import winnow_fingerprint
     return winnow_fingerprint(_t(spark, sf, "documents")) \
