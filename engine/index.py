@@ -48,7 +48,8 @@ from pyspark.sql import functions as F
 TOPK = 3  # reference keeps top-3 similar tuples (retrieve_relevant_values.py:202)
 
 
-def _with_context(df: DataFrame) -> DataFrame:
+def _with_context(df: DataFrame,
+                  extra: dict | None = None) -> DataFrame:
     """Lean per-conversation context under stable (conv_id, turn_idx)
     ordering: md5(text) is computed BEFORE the window (narrow), so the
     window shuffle — the single widest exchange of the merge pass — carries
@@ -62,10 +63,17 @@ def _with_context(df: DataFrame) -> DataFrame:
 
     Callers that consume the context more than once (index build + update
     plan) should persist the result: Catalyst does NOT share a common
-    subtree across union/join branches."""
+    subtree across union/join branches.
+
+    ``extra`` columns (e.g. the clustering curve key for a fused merge)
+    ride the same pass — computed narrow, before the window — so a
+    consumer needing them pays no extra table scan."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    sigs = df.select("conv_id", "turn_idx", "role", "tool",
-                     F.md5("text").alias("text_sig"))
+    cols = [F.col("conv_id"), F.col("turn_idx"), F.col("role"),
+            F.col("tool"), F.md5("text").alias("text_sig")]
+    for name, col in (extra or {}).items():
+        cols.append(col.alias(name))
+    sigs = df.select(*cols)
     return (sigs
             .withColumn("prev_role", F.lag("role").over(w))
             .withColumn("next_role", F.lead("role").over(w))

@@ -401,6 +401,23 @@ def impute_merge(spark: SparkSession, table: Table,
     — a narrow agg over cached sig-rows instead of a second full table
     scan."""
     df = scan(spark, table)
+    # fused-clustering prep (metadata-only): output file count + ts bounds
+    # from the manifests; the curve KEY rides the context pass below so the
+    # quantile bounds later read the warm cache, not a fresh table scan
+    curve_prep: dict = {}
+    extra_ctx_cols = None
+    if curve is not None:
+        from .format import ts_bounds_micros
+        from .layout import curve_key
+        entries = table.manifest_entries()
+        in_bytes = sum(e.file_size_bytes for e in entries)
+        n_out = max(1, round(in_bytes / target_bytes))
+        if in_bytes > (1 << 20):
+            n_out = max(n_out, 16)
+        ts_b = ts_bounds_micros(entries)
+        curve_prep = {"n_out": n_out, "ts_b": ts_b,
+                      "rows_total": sum(e.record_count for e in entries)}
+        extra_ctx_cols = {"__ckey": curve_key(curve, ts_bounds=ts_b)}
     # ONE materialization of the lean conv-window pipeline, shared by the
     # index build and the update plan (Catalyst has no cross-branch subtree
     # reuse; without this the windows run 2-6×). MEMORY_AND_DISK: at real
@@ -409,9 +426,10 @@ def impute_merge(spark: SparkSession, table: Table,
     from pyspark import StorageLevel
     import os as _os
     if _os.environ.get("ENGINE_CTX_CACHE", "1") == "1":
-        ctx = _with_context(df).persist(StorageLevel.MEMORY_AND_DISK)
+        ctx = _with_context(df, extra=extra_ctx_cols).persist(
+            StorageLevel.MEMORY_AND_DISK)
     else:
-        ctx = _with_context(df)
+        ctx = _with_context(df, extra=extra_ctx_cols)
     work = worklist(ctx).persist()
     if cand_idx is None:
         # merge-pass index: rank-1 only (k=1 — double partial agg, no window
@@ -451,23 +469,32 @@ def impute_merge(spark: SparkSession, table: Table,
         hot_future = pool.submit(lambda: hot_keys(ctx).collect())
     curve_kw: dict = {}
     if curve is not None:
-        # fused clustering (see merge_into): curve bounds from the PRE-merge
-        # table — a pruned (ts, conv_id) scan + quantile sketch, not a
-        # recompute of the merge join — valid because the merge never
-        # touches the curve dimensions
-        from .format import ts_bounds_micros
-        from .layout import curve_bounds
-        entries = table.manifest_entries()
-        in_bytes = sum(e.file_size_bytes for e in entries)
-        n_out = max(1, round(in_bytes / target_bytes))
-        if in_bytes > (1 << 20):
-            n_out = max(n_out, 16)
-        ts_b = ts_bounds_micros(entries)
+        # fused clustering (see merge_into): curve bounds from the WARM ctx
+        # cache (the key rode the context pass) — neither a table scan nor
+        # a recompute of the merge join; valid because the merge never
+        # touches the curve dimensions. rel_err 0.02 ≈ ±2% rows per file:
+        # imbalance noise, at a third of the sketch cost of tighter errors.
+        n_out, ts_b = curve_prep["n_out"], curve_prep["ts_b"]
         t0 = time.time()
-        # rel_err 0.02 ≈ ±2% rows per file — imbalance noise, at a third of
-        # the sketch cost of the 0.003 default
-        cb = (curve_bounds(df, curve, n_out, ts_bounds=ts_b, rel_err=0.02)
-              if n_out > 1 else [])
+        if n_out > 1:
+            # seeded sample → exact numpy quantiles on the driver: the GK
+            # sketch (approxQuantile) costs ~1 µs/row on EVERY row — at 6M
+            # rows that is seconds of low-parallelism work for 35 numbers.
+            # A 400k sample bounds per-file imbalance to well under 1%.
+            import numpy as np
+            rows_total = curve_prep["rows_total"]
+            frac = min(1.0, 400_000 / max(1, rows_total))
+            pdf = (ctx.select("__ckey").sample(fraction=frac, seed=42)
+                   .toPandas())
+            qs = [i / n_out for i in range(1, n_out)]
+            raw = np.quantile(pdf["__ckey"].to_numpy(), qs)
+            cb = []
+            for b in raw:
+                b = int(b)
+                if not cb or b > cb[-1]:
+                    cb.append(b)
+        else:
+            cb = []
         _tmark("impute.curve_bounds", t0)
         curve_kw = {"curve": curve, "curve_bounds_list": cb,
                     "ts_bounds": ts_b, "num_files": n_out}
