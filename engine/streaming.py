@@ -72,6 +72,32 @@ def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
                summary={"stream_batch": batch_id, "inserted": True})
 
 
+def turn_rate_stream(stream: DataFrame,
+                     window_duration: str = "10 minutes",
+                     slide: str | None = None,
+                     watermark: str = "30 minutes") -> DataFrame:
+    """Streaming analytics over the live turn stream: per-(window, role)
+    arrival counts with event-time windows and a late-data watermark — the
+    one Structured Streaming shape the ingest path doesn't need (ingest is
+    exactly-once by keys, so it never drops late rows; an *aggregation*
+    must bound its state, which is what the watermark does: rows later than
+    ``watermark`` past the max observed ts are excluded and their window
+    state is reclaimed).
+
+    Runs on any streaming OR batch DataFrame with (ts, role) — batch input
+    gives the exact answer for tests. Output is append-safe (watermarked),
+    so it composes with ``writeStream`` into a parquet/console/memory sink.
+    """
+    w = F.window("ts", window_duration, slide or window_duration)
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(w.alias("win"), "role")
+            .agg(F.count(F.lit(1)).alias("turns"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "role", "turns"))
+
+
 def start_ingest(spark: SparkSession, table: Table, source_dir: str,
                  checkpoint_dir: str, trigger_once: bool = True):
     """File-source stream of transcript parquet drops → foreachBatch commits.

@@ -52,3 +52,85 @@ def test_stream_ingest_idempotent_redelivery(spark, tmp_path):
     out = scan(spark, t)
     assert out.count() == n1
     assert sorted_rows(out) == sorted_rows(df)
+
+
+def test_turn_rate_stream_watermarked_windows(spark, tmp_path):
+    """Watermarked windowed aggregation over a real micro-batch stream:
+    (a) streaming totals equal the exact batch answer for on-time data,
+    (b) a row arriving later than the watermark past max(ts) is DROPPED
+    from the streaming aggregate (state already reclaimed) while batch
+    semantics would still count it."""
+    from pyspark.sql import functions as F
+
+    from engine.streaming import turn_rate_stream
+
+    df = generate_transcripts(spark, num_convs=12)
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    df.coalesce(1).write.parquet(src + "/w1")
+    import glob
+    import shutil
+    os.makedirs(src + "/all", exist_ok=True)
+    shutil.copy(glob.glob(src + "/w1/part-*.parquet")[0],
+                src + "/all/f0.parquet")
+
+    from engine.streaming import TRANSCRIPT_DDL
+    stream = (spark.readStream.schema(TRANSCRIPT_DDL)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/all"))
+    agg = turn_rate_stream(stream, window_duration="1 hour",
+                           watermark="1 hour")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("turn_rate")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # late-data scenario with DETERMINISTIC batch separation: a checkpointed
+    # query processes the on-time file, terminates (watermark persisted),
+    # then resumes after a VERY late file lands — the restored watermark
+    # must drop it from the aggregate
+    src2 = str(tmp_path / "stream_src2")
+    os.makedirs(src2 + "/all", exist_ok=True)
+    shutil.copy(glob.glob(src + "/w1/part-*.parquet")[0],
+                src2 + "/all/f0.parquet")
+    stream2 = (spark.readStream.schema(TRANSCRIPT_DDL)
+               .option("maxFilesPerTrigger", "1").parquet(src2 + "/all"))
+    agg2 = turn_rate_stream(stream2, window_duration="1 hour",
+                            watermark="1 hour")
+    ckpt2 = str(tmp_path / "ckpt2")
+    out2 = str(tmp_path / "rate2_out")
+    q = (agg2.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt2)
+         .format("parquet").option("path", out2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    late = df.limit(5).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 600 DAYS"))
+    late.coalesce(1).write.parquet(src + "/w2")
+    shutil.copy(glob.glob(src + "/w2/part-*.parquet")[0],
+                src2 + "/all/f1.parquet")
+    q = (agg2.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt2)
+         .format("parquet").option("path", out2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["window_start"], r["role"]): r["turns"]
+           for r in spark.sql("select * from turn_rate").collect()}
+    exact = {(r["window_start"], r["role"]): r["turns"]
+             for r in turn_rate_stream(df, window_duration="1 hour",
+                                       watermark="1 hour").collect()}
+    # every emitted window matches the exact batch answer bit-for-bit
+    assert got and all(exact[k] == v for k, v in got.items())
+    # append mode withholds only the trailing watermark horizon: every
+    # window that closed ≥ watermark before max(ts) must have been emitted
+    import datetime
+    max_ts = df.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=2)  # window + watermark
+    must_emit = {k for k in exact if k[0] < horizon}
+    assert must_emit <= set(got)
+    # the very-late file was DROPPED by the watermark: its ancient windows
+    # never appear, even though batch semantics would count them
+    got2 = spark.read.parquet(out2).collect()
+    assert got2, "second stream emitted nothing"
+    cutoff = max_ts - datetime.timedelta(days=365)
+    assert all(r["window_start"] > cutoff for r in got2)
