@@ -70,6 +70,18 @@ def get_spark(app: str = "transcript-lakehouse",
          # (ctx fill measured ~20% faster uncompressed); flip per-workload
          # on a memory-constrained cluster
          .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+         # shuffle blocks on tmpfs move at memory speed: LZ4 then costs CPU
+         # without saving meaningful IO (measured ~3-10% at low widths).
+         # On a real cluster (network fabric + spinning/NVMe local dirs)
+         # compression stays ON — the gate is the storage medium.
+         .config("spark.shuffle.compress",
+                 "false" if os.environ.get("SPARK_LOCAL_DIRS",
+                                           "").startswith("/dev/shm")
+                 else "true")
+         .config("spark.shuffle.spill.compress",
+                 "false" if os.environ.get("SPARK_LOCAL_DIRS",
+                                           "").startswith("/dev/shm")
+                 else "true")
          # INT96 timestamps carry no parquet stats → no ts-based file pruning;
          # micros keep min/max in footers (and are the modern default anyway)
          .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
