@@ -8,12 +8,10 @@ north rule adds so the same lake works at 10^12 turns.
 
 from __future__ import annotations
 
-import datetime
 import glob as globlib
 import os
 import time
 import uuid
-from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,12 +56,26 @@ def compact(spark: SparkSession, table: Table,
             target_bytes: int = DEFAULT_TARGET_BYTES,
             pass_id: str | None = None,
             max_concurrency: int = 8) -> Snapshot | None:
-    """Rewrite each planned group into one file. Groups run as concurrent
-    Spark jobs (the scheduler interleaves their tasks, keeping all cores busy
-    even when individual groups are small); each group checkpoints its
-    lineage+metrics the moment its output is durably staged, so a killed pass
-    resumes mid-plan without re-reading finished groups."""
+    """Rewrite every planned group into one file in ONE Spark job.
+
+    The file→group routing is a broadcast join on the file's basename
+    (``input_file_name()`` tags rows at the scan, so the join key is free);
+    each group's rows are then placed in exactly one shuffle partition via a
+    murmur3-solved representative value per group (``engine.write.
+    partition_reps``: pmod(hash(rep_j), n) == j by construction), so the
+    single write emits one file per group. A per-group-job design (the r2
+    shape) sequences O(groups) driver-scheduled jobs — at a 100 TB backlog of
+    small files that is thousands of jobs whose fixed latency dominates; here
+    the whole plan is one scan + one shuffle regardless of group count.
+
+    Per-group lineage+metrics checkpoint records are still written (one per
+    group, after the write is durably staged), so a pass killed after staging
+    resumes by committing the recorded outputs without re-reading anything;
+    ``max_concurrency`` is retained for API compatibility (unused — there is
+    only one job now)."""
     from .merge import _adopt_crashed_commit
+    from .write import partition_reps
+    _ = max_concurrency
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "compact")
     if ckpt.pass_committed():
@@ -78,28 +90,49 @@ def compact(spark: SparkSession, table: Table,
     total_rows = sum(e.record_count for g in groups for e in g)
     mean_rows = total_rows / max(1, len(groups))
 
-    def run_group(i_group):
-        i, group = i_group
+    results: list[tuple[str, list[str], list[DataFile]]] = []
+    todo: list[tuple[int, list[DataFile]]] = []
+    for i, group in enumerate(groups):
         task_id = f"group-{i:05d}"
-        if ckpt.is_done(task_id):
-            rec = ckpt.get(task_id)
-            return (task_id, rec["input_files"],
-                    [_restat(table, p) for p in rec["output_files"]])
-        paths = [os.path.join(table.root, e.path) for e in group]
-        df = (spark.read.parquet(*paths)
-              .sortWithinPartitions("conv_id", "turn_idx").coalesce(1))
-        staged = stage_dataframe(table, df)
-        rows = sum(e.record_count for e in staged)
-        ckpt.record(TaskRecord(
-            pass_id, "compact", task_id,
-            input_files=[e.path for e in group],
-            output_files=[e.path for e in staged],
-            rows=rows, bytes=sum(e.file_size_bytes for e in staged),
-            skew_factor=round(rows / max(1.0, mean_rows), 3)))
-        return (task_id, [e.path for e in group], staged)
+        rec = ckpt.get(task_id)
+        if rec is not None:
+            results.append((task_id, rec["input_files"],
+                            [_restat(table, p) for p in rec["output_files"]]))
+        else:
+            todo.append((i, group))
 
-    with ThreadPoolExecutor(max_workers=max_concurrency) as ex:
-        results = list(ex.map(run_group, enumerate(groups)))
+    if todo:
+        n = len(todo)
+        reps = partition_reps(n)
+        route = [(os.path.basename(e.path), reps[j])
+                 for j, (_, group) in enumerate(todo) for e in group]
+        mapping = F.broadcast(
+            spark.createDataFrame(route, "__cmp_base string, __cmp_rep long"))
+        paths = [os.path.join(table.root, e.path) for _, g in todo for e in g]
+        df = (spark.read.parquet(*paths)
+              .withColumn("__cmp_base",
+                          F.element_at(F.split(F.input_file_name(), "/"), -1))
+              .join(mapping, "__cmp_base")
+              .repartition(n, F.col("__cmp_rep"))
+              .drop("__cmp_base", "__cmp_rep")
+              .sortWithinPartitions("conv_id", "turn_idx"))
+        staged = stage_dataframe(table, df)
+        if len(staged) != n:  # pragma: no cover - groups are non-empty by plan
+            raise RuntimeError(
+                f"compaction wrote {len(staged)} files for {n} groups — "
+                "an empty group partition broke part↔group alignment")
+        # parts come back sorted by part index == shuffle partition id ==
+        # plan position (the representative construction guarantees it)
+        for j, (i, group) in enumerate(todo):
+            task_id = f"group-{i:05d}"
+            out = staged[j]
+            ckpt.record(TaskRecord(
+                pass_id, "compact", task_id,
+                input_files=[e.path for e in group],
+                output_files=[out.path],
+                rows=out.record_count, bytes=out.file_size_bytes,
+                skew_factor=round(out.record_count / max(1.0, mean_rows), 3)))
+            results.append((task_id, [e.path for e in group], [out]))
 
     removed = {p for _, ins, _ in results for p in ins}
     added = [e for _, _, outs in results for e in outs]
@@ -224,6 +257,7 @@ def expire_snapshots(table: Table, keep_last: int = 2,
 
 
 _SWEEP_DISTRIBUTED_THRESHOLD = 100_000  # data files
+_DISTRIBUTED_DELETE_MIN = 1024  # orphans; above this, unlink cluster-side
 
 
 def _dir_entries_exceed(path: str, n: int) -> bool:
@@ -269,10 +303,25 @@ def sweep_orphans(spark: SparkSession, table: Table,
     else:
         orphans = _sweep_distributed(spark, table, grace_seconds)
     if not dry_run:
-        # driver-side unlink is O(orphans) — a steady-state sweep deletes
-        # few files; a backlog purge would move this into foreachPartition
-        for rel in orphans:
-            os.remove(os.path.join(table.root, rel))
+        if distributed and len(orphans) > _DISTRIBUTED_DELETE_MIN:
+            # backlog purge (post-expiry of many snapshots): unlink across
+            # the cluster — a driver loop over millions of orphans is the
+            # same O(orphans) serial wall the sweep itself just avoided
+            root = table.root
+            sc = spark.sparkContext
+            slices = max(1, min(64, len(orphans) // 1024))
+
+            def _unlink(rels):
+                for rel in rels:
+                    try:
+                        os.remove(os.path.join(root, rel))
+                    except FileNotFoundError:
+                        pass
+            sc.parallelize(list(orphans), slices).foreachPartition(_unlink)
+        else:
+            # steady-state sweep deletes few files; driver unlink is cheapest
+            for rel in orphans:
+                os.remove(os.path.join(table.root, rel))
     return sorted(orphans)
 
 
@@ -335,9 +384,14 @@ def _sweep_distributed(spark: SparkSession, table: Table,
     for r in refs[1:]:
         referenced = referenced.unionByName(r)
 
-    cutoff = datetime.datetime.fromtimestamp(time.time() - grace_seconds)
+    # epoch comparison, not a naive datetime literal: a local-datetime cutoff
+    # round-trips through the driver/session timezone (and a DST fall-back
+    # fold shifts it a full hour), which could sweep files a live concurrent
+    # writer staged inside the promised grace window
+    cutoff_epoch = int(time.time() - grace_seconds)
     listed = (spark.read.format("binaryFile").load(table.data_dir)
-              .filter(F.col("modificationTime") <= F.lit(cutoff))
+              .filter(F.col("modificationTime").cast("long")
+                      <= F.lit(cutoff_epoch))
               .select(F.concat(F.lit("data/"),
                                F.element_at(F.split(F.col("path"), "/"), -1))
                       .alias("path")))

@@ -254,3 +254,67 @@ def test_fused_merge_cluster_matches_separate_pass(spark, tmp_path):
     ents = t_fus.manifest_entries()
     assert len(ents) > 1
     assert all("ts" in e.stats and "min" in e.stats["ts"] for e in ents)
+
+
+def test_compact_many_groups_is_one_spark_job(spark, tmp_table_root):
+    """A 100-group compaction plan executes as O(1) Spark jobs (one scan +
+    one routed shuffle write), not one job per group — the shape that holds
+    at a 100 TB small-file backlog. Also verifies per-group lineage: every
+    group gets its own checkpoint record whose rows equal its inputs' rows."""
+    import json
+
+    t, _ = _setup(spark, tmp_table_root, convs=220, files=220)
+    entries = t.manifest_entries()
+    sizes = sorted(e.file_size_bytes for e in entries)
+    target = int(sizes[len(sizes) // 2] * 2.5)  # ~2 files per group
+    from engine.maintain import plan_compaction
+    groups = plan_compaction(entries, target)
+    assert len(groups) >= 60
+    before = sorted_rows(scan(spark, t))
+
+    sc = spark.sparkContext
+    sc.setJobGroup("compact-one-job", "test")
+    try:
+        snap = compact(spark, t, target_bytes=target, pass_id="cbig")
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("compact-one-job")
+    assert snap is not None
+    assert len(jobs) <= 5, f"expected O(1) jobs for {len(groups)} groups, " \
+                           f"got {len(jobs)}"
+    assert sorted_rows(scan(spark, t)) == before
+
+    # one lineage record per group; record rows == sum of its inputs' rows
+    in_rows = {os.path.basename(e.path): e.record_count for e in entries}
+    recs = []
+    with open(os.path.join(t.root, "metadata", "checkpoints",
+                           "compact-cbig.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if r.get("task_id") != "__pass__":
+                recs.append(r)
+    assert len(recs) == len(groups)
+    for r in recs:
+        expect = sum(in_rows[os.path.basename(p)] for p in r["input_files"])
+        assert r["rows"] == expect
+        assert len(r["output_files"]) == 1
+
+
+def test_sweep_distributed_delete_parity(spark, tmp_table_root, monkeypatch):
+    """Distributed deletion (foreachPartition unlink) removes exactly the
+    dry-run set and leaves referenced files intact."""
+    import engine.maintain as m
+
+    t, _ = _setup(spark, tmp_table_root, convs=30, files=6)
+    compact(spark, t, target_bytes=1 << 20, pass_id="c1")
+    expire_snapshots(t, keep_last=1)
+    monkeypatch.setattr(m, "_DISTRIBUTED_DELETE_MIN", 0)
+    planned = sweep_orphans(spark, t, grace_seconds=0.0, dry_run=True,
+                            distributed=True)
+    assert planned
+    removed = sweep_orphans(spark, t, grace_seconds=0.0, distributed=True)
+    assert removed == planned
+    for rel in planned:
+        assert not os.path.exists(os.path.join(t.root, rel))
+    for e in t.manifest_entries():
+        assert os.path.exists(os.path.join(t.root, e.path))
