@@ -40,9 +40,11 @@ def column_null_profile(df: DataFrame) -> DataFrame:
     total = F.count(F.lit(1))
     agg = df.agg(total.alias("__n"),
                  *[F.count(c).alias(f"__c_{c}") for c in df.columns])
+    # 0-row frame → 0/0: emit null (ANSI mode raises on the bare division)
     pairs = F.array(*[
         F.struct(F.lit(c).alias("column_name"),
-                 F.round(F.col(f"__c_{c}") / F.col("__n"), 6)
+                 F.when(F.col("__n") > 0,
+                        F.round(F.col(f"__c_{c}") / F.col("__n"), 6))
                  .alias("non_null_ratio"))
         for c in df.columns])
     return (agg.select(F.explode(pairs).alias("p"))
@@ -57,7 +59,10 @@ def sparse_prune(df: DataFrame, min_non_null: float = 0.2) -> DataFrame:
     every downstream scan reads fewer parquet columns."""
     ratios = {r["column_name"]: r["non_null_ratio"]
               for r in column_null_profile(df).collect()}
-    keep = [c for c in df.columns if ratios.get(c, 0.0) >= min_non_null]
+    # a 0-row frame yields null ratios (0/0): no evidence to prune on —
+    # keep every column instead of raising on the None comparison
+    keep = [c for c in df.columns
+            if ratios.get(c) is None or ratios[c] >= min_non_null]
     return df.select(*keep)
 
 

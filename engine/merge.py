@@ -50,8 +50,23 @@ MERGE_KEYS = ("conv_id", "turn_idx")
 _MAX_IN_SET = 100_000  # above this, fall back to min/max range pruning
 # auto broadcast gate: above this many source rows, let AQE pick the join
 # side instead of forcing a broadcast (at 100 TB a 1% worklist carrying
-# upd_text strings is tens of GB — see plan_impute_updates' scale notes)
+# upd_text strings is tens of GB — see plan_impute_updates' scale notes).
+# Rows alone are not enough — 2M long-text rows can be multiple GB — so the
+# gate also bounds the estimated string payload (BROADCAST_MAX_BYTES).
 BROADCAST_MAX_ROWS = 2_000_000
+BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _string_bytes(source: DataFrame) -> int:
+    """Estimated string payload of ``source`` (sum of octet lengths over its
+    string columns) — one tiny agg job, cheap when the source is persisted."""
+    str_cols = [f.name for f in source.schema.fields
+                if f.dataType.typeName() == "string"]
+    if not str_cols:
+        return 0
+    row = source.agg(*[F.sum(F.octet_length(c)).alias(c)
+                       for c in str_cols]).collect()[0]
+    return sum(v or 0 for v in row)
 
 
 # --------------------------------------------------------------------- impute
@@ -202,23 +217,36 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
 
 
 # ---------------------------------------------------------------- merge into
-def _source_predicates(source: DataFrame) -> tuple[list[Predicate], int]:
+def _source_predicates(source: DataFrame, byte_cols: list[str] | None = None
+                       ) -> tuple[list[Predicate], int, int | None]:
     """File-pruning predicates from the source's conv_id domain — an IN-set
     when the domain is small (collected on the driver, O(distinct keys)),
     else a min/max range — plus the source row count, piggybacked on the
     same job (it gates the rewrite-join broadcast; a separate count() would
     be one more driver-sequenced pass over the source pipeline). At 10^12
     turns the IN-set path still holds for targeted merges (one batch of late
-    conversations), and the range path bounds the worst case."""
-    rows = (source.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    conversations), and the range path bounds the worst case.
+
+    ``byte_cols`` additionally sums those string columns' octet lengths in
+    the SAME job (third return value; None when not requested) — the byte
+    side of the broadcast gate, free to piggyback here."""
+    bexprs = [F.sum(F.octet_length(c)).alias(f"__b_{c}")
+              for c in (byte_cols or [])]
+    rows = (source.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"),
+                                          *bexprs)
             .limit(_MAX_IN_SET + 1).collect())
     if len(rows) <= _MAX_IN_SET:
-        return ([Predicate("conv_id", "in", sorted(r[0] for r in rows))],
-                sum(r[1] for r in rows))
+        nbytes = (sum((r[f"__b_{c}"] or 0) for r in rows
+                      for c in byte_cols) if byte_cols else None)
+        return ([Predicate("conv_id", "in", sorted(r["conv_id"]
+                                                   for r in rows))],
+                sum(r["n"] for r in rows), nbytes)
     agg = source.agg(F.min("conv_id"), F.max("conv_id"),
-                     F.count(F.lit(1))).collect()[0]
+                     F.count(F.lit(1)), *bexprs).collect()[0]
+    nbytes = (sum((agg[f"__b_{c}"] or 0) for c in byte_cols)
+              if byte_cols else None)
     return ([Predicate("conv_id", "ge", agg[0]),
-             Predicate("conv_id", "le", agg[1])], agg[2])
+             Predicate("conv_id", "le", agg[1])], agg[2], nbytes)
 
 
 def build_rewrite(tgt: DataFrame, source: DataFrame,
@@ -268,6 +296,7 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                target_bytes: int = 128 * 1024 * 1024,
                predicates: list[Predicate] | None = None,
                source_rows: int | None = None,
+               source_bytes: int | None = None,
                curve: str | None = None,
                curve_bounds_list: list | None = None,
                ts_bounds: tuple[int, int] | None = None) -> Snapshot:
@@ -310,10 +339,22 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
         # — skip the predicate-derivation job entirely
         preds, n_src = predicates, source_rows
     else:
-        preds, n_src = _source_predicates(source)
+        preds, n_src, piggy_bytes = _source_predicates(
+            source, byte_cols=[f.name for f in source.schema.fields
+                               if f.dataType.typeName() == "string"
+                               and f.name not in MERGE_KEYS])
+        if source_bytes is None:
+            source_bytes = piggy_bytes
     t0 = _tmark("merge.source_pipeline", t0)
     if broadcast_source is None:
         broadcast_source = n_src <= BROADCAST_MAX_ROWS
+        if broadcast_source and n_src > 0:
+            # row count alone under-gates text-heavy sources: estimate the
+            # string payload too (caller may piggyback it; else one tiny agg
+            # over the persisted source)
+            if source_bytes is None:
+                source_bytes = _string_bytes(source)
+            broadcast_source = source_bytes <= BROADCAST_MAX_BYTES
 
     snap = table.current_snapshot()
     entries = table.manifest_entries(snap)
@@ -455,8 +496,23 @@ def impute_merge(spark: SparkSession, table: Table,
                          "upd_role", "upd_tool", "upd_text").persist()
     inner_caches.append(src)
     t0 = time.time()
-    n_src = src.count()
+    # ONE materializing agg gives the conv-domain predicates (file pruning:
+    # a sparse/targeted worklist — few conversations — must not trigger an
+    # O(table) rewrite; the uniform bench mask spans every file, where the
+    # derivation costs one tiny job over the just-cached source), the row
+    # count (broadcast row gate) and the string payload (broadcast byte
+    # gate), all piggybacked on the cache fill.
+    preds, n_src, src_bytes = _source_predicates(
+        src, byte_cols=["upd_role", "upd_tool", "upd_text"])
     _tmark("impute.src_materialize", t0)
+    if curve is not None:
+        entries_all = table.manifest_entries()
+        if len(prune_files(entries_all, preds)) < len(entries_all):
+            # targeted worklist (pruning actually drops files): fused
+            # clustering is a FULL-table rewrite concept — fall back to the
+            # keyed range rewrite of the affected files only and leave
+            # layout migration to the standalone cluster() cadence
+            curve = None
     hot_future = pool = None
     if stats_out is not None:
         # the source pipeline is materialized (ctx cache warm) — OVERLAP the
@@ -498,11 +554,10 @@ def impute_merge(spark: SparkSession, table: Table,
         _tmark("impute.curve_bounds", t0)
         curve_kw = {"curve": curve, "curve_bounds_list": cb,
                     "ts_bounds": ts_b, "num_files": n_out}
-    # predicates=[]: the impute worklist spans most conversations, so
-    # conv-domain pruning cannot drop a file — skip the derivation job
     snap = merge_into(spark, table, src, update_map, pass_id=pass_id,
                       target_bytes=target_bytes,
-                      predicates=[], source_rows=n_src, **curve_kw)
+                      predicates=preds, source_rows=n_src,
+                      source_bytes=src_bytes, **curve_kw)
     if hot_future is not None:
         hot = hot_future.result()
         pool.shutdown()

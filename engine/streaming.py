@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .format import Table
-from .merge import MERGE_KEYS, merge_into
+from .merge import MERGE_KEYS, _source_predicates, merge_into
 from .write import append
 
 TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
@@ -33,25 +33,30 @@ def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
     """One micro-batch → one snapshot. Rows whose (conv_id, turn_idx) already
     exist update in place (late re-delivery / edits → MERGE); new keys append
     as fresh data files. Idempotent per batch_id."""
-    batch = batch.dropDuplicates(list(MERGE_KEYS))
+    batch = batch.dropDuplicates(list(MERGE_KEYS)).persist()
     if table.current_snapshot() is None:
         append(table, batch, num_files=target_files or 1,
                range_cols=list(MERGE_KEYS), sort_cols=list(MERGE_KEYS),
                summary={"stream_batch": batch_id})
+        batch.unpersist()
         return
-    from .scan import Predicate, prune_files, scan
+    from .scan import prune_files, scan
 
     # split batch into updates (key exists) vs inserts (new key) with ONE
-    # pruned read of the possibly-affected files
-    keys = sorted(r[0] for r in batch.select("conv_id").distinct().collect())
-    preds = [Predicate("conv_id", "in", keys)]
+    # pruned read of the possibly-affected files. Predicates come from the
+    # capped derivation merge_into itself uses (IN-set ≤ _MAX_IN_SET keys
+    # collected, else min/max range): a backlog-replay batch (availableNow
+    # over a large drop) can carry millions of conversations — a bare
+    # distinct().collect() would land them all on the driver.
+    preds, _, _ = _source_predicates(batch)
     entries = prune_files(table.manifest_entries(), preds)
     if entries:
-        # pruned scan: only files whose stats intersect the batch's keys
+        # pruned scan: only files whose stats intersect the batch's keys;
+        # join side left to AQE (the batch may be backlog-sized — forcing a
+        # broadcast here has the same failure mode as the key collect)
         existing = scan(spark, table, predicates=preds) \
             .select(*MERGE_KEYS) \
-            .join(F.broadcast(batch.select(*MERGE_KEYS)), list(MERGE_KEYS),
-                  "left_semi")
+            .join(batch.select(*MERGE_KEYS), list(MERGE_KEYS), "left_semi")
         upd = batch.join(existing, list(MERGE_KEYS), "left_semi")
         ins = batch.join(existing, list(MERGE_KEYS), "left_anti")
     else:
@@ -70,6 +75,7 @@ def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
         append(table, ins, num_files=target_files or 1,
                range_cols=list(MERGE_KEYS), sort_cols=list(MERGE_KEYS),
                summary={"stream_batch": batch_id, "inserted": True})
+    batch.unpersist()
 
 
 def turn_rate_stream(stream: DataFrame,

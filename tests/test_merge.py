@@ -191,3 +191,75 @@ def test_resume_after_commit_before_finalize_does_not_duplicate(
     out = scan(spark, t)
     assert out.count() == before_rows
     assert out.select("conv_id", "turn_idx").distinct().count() == before_rows
+
+
+def test_impute_targeted_worklist_prunes_rewrite(spark, tmp_table_root):
+    """A sparse worklist (missing cells in ONE conversation) must not
+    trigger an O(table) rewrite: conv-domain predicates prune the copy-on-
+    write to the affected files; unaffected files survive by reference —
+    even when the caller asked for fused clustering (which only applies to
+    full-table passes and falls back here)."""
+    from pyspark.sql import functions as F
+    df = generate_transcripts(spark, num_convs=40)
+    victim = df.select("conv_id").distinct().orderBy("conv_id").first()[0]
+    injected = df.withColumn(
+        "role", F.when((F.col("conv_id") == victim) & (F.col("turn_idx") == 1),
+                       F.lit(None)).otherwise(F.col("role")))
+    t = Table.create(tmp_table_root)
+    append(t, injected, num_files=8, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    from engine.scan import Predicate, prune_files
+    entries = t.manifest_entries()
+    affected = {e.path for e in
+                prune_files(entries, [Predicate("conv_id", "in", [victim])])}
+    before = {e.path for e in entries}
+    assert len(affected) < len(before)  # pruning has something to save
+    impute_merge(spark, t, pass_id="sparse1", curve="zorder")
+    after = {e.path for e in t.manifest_entries()}
+    assert before - after == affected, \
+        f"rewrote {len(before - after)} files, expected the {len(affected)} " \
+        "affected ones only"
+    assert scan(spark, t).filter("role is null").count() == 0
+
+
+def test_merge_broadcast_gate_respects_byte_estimate(spark, tmp_table_root,
+                                                     monkeypatch):
+    """The auto broadcast gate must refuse a source whose ROW count is small
+    but whose string payload is large (2M long-text rows can be multiple
+    GB): with BROADCAST_MAX_BYTES patched below the source's octet sum, the
+    rewrite is planned without a forced broadcast."""
+    import engine.merge as m
+    t, df, injected, wl = _setup(spark, tmp_table_root, convs=10)
+    src = injected.select(
+        "conv_id", "turn_idx",
+        F.lit(None).cast("string").alias("upd_role"),
+        F.lit(None).cast("string").alias("upd_tool"),
+        F.concat(F.lit("x" * 64), F.col("conv_id")).alias("upd_text"))
+    chosen: list = []
+    real = m.build_rewrite
+
+    def spy(tgt, source, update_map, broadcast_source):
+        chosen.append(broadcast_source)
+        return real(tgt, source, update_map, broadcast_source)
+
+    monkeypatch.setattr(m, "build_rewrite", spy)
+    monkeypatch.setattr(m, "BROADCAST_MAX_BYTES", 16)
+    m.merge_into(spark, t, src,
+                 {"role": "upd_role", "tool": "upd_tool", "text": "upd_text"},
+                 pass_id="bgate1")
+    assert chosen == [False]
+    # and with a roomy byte cap the same shape broadcasts
+    monkeypatch.setattr(m, "BROADCAST_MAX_BYTES", 1 << 30)
+    m.merge_into(spark, t, src,
+                 {"role": "upd_role", "tool": "upd_tool", "text": "upd_text"},
+                 pass_id="bgate2")
+    assert chosen == [False, True]
+
+
+def test_sparse_prune_empty_frame_keeps_columns(spark):
+    """0-row input → null ratios → keep every column (no TypeError)."""
+    from engine.estimate import sparse_prune
+    df = generate_transcripts(spark, num_convs=2).filter("turn_idx < 0")
+    out = sparse_prune(df, min_non_null=0.2)
+    assert out.columns == df.columns
+    assert out.count() == 0

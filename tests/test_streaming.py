@@ -134,3 +134,35 @@ def test_turn_rate_stream_watermarked_windows(spark, tmp_path):
     assert got2, "second stream emitted nothing"
     cutoff = max_ts - datetime.timedelta(days=365)
     assert all(r["window_start"] > cutoff for r in got2)
+
+
+def test_ingest_large_conv_domain_never_collects_keys(spark, tmp_path,
+                                                      monkeypatch):
+    """A backlog-replay batch whose conversation domain exceeds the IN-set
+    cap must route through range predicates (min/max agg) instead of
+    materializing the key list on the driver — and still ingest correctly."""
+    import engine.merge as m
+    import engine.streaming as st
+    from engine.streaming import ingest_batch
+
+    seen: list = []
+    real = m._source_predicates
+
+    def spy(source, byte_cols=None):
+        out = real(source, byte_cols)
+        seen.append(out[0])
+        return out
+
+    monkeypatch.setattr(m, "_MAX_IN_SET", 5)
+    monkeypatch.setattr(st, "_source_predicates", spy)
+
+    df = generate_transcripts(spark, num_convs=20)  # 20 convs > cap of 5
+    t = Table.create(str(tmp_path / "tbl"))
+    half = df.filter("turn_idx % 2 = 0")
+    ingest_batch(spark, t, half, batch_id=0)          # bootstrap append
+    ingest_batch(spark, t, df, batch_id=1)            # update + insert split
+    assert seen, "ingest did not derive predicates via _source_predicates"
+    for preds in seen:
+        assert all(p.op in ("ge", "le") for p in preds), \
+            "expected range predicates above the IN-set cap"
+    assert sorted_rows(scan(spark, t)) == sorted_rows(df)
