@@ -221,28 +221,71 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
 
 
 # ------------------------------------------------------------------ simhash
-@pandas_udf(LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash, Arrow-vectorized: token → 64-bit hash (python hash of
-    md5 prefix), weighted bit-vote. The loop is over tokens per doc inside
-    numpy — no Spark-row-at-a-time Python."""
+# token → md5-hash memo, shared across Arrow batches within a Python worker:
+# Zipf corpora re-see the same tokens constantly, and the per-token md5 call
+# (not the bit math) is the per-byte cost. Bounded to keep workers lean.
+_SIMHASH_MEMO: dict[str, int] = {}
+_SIMHASH_MEMO_MAX = 1 << 20
+
+
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over a whole Arrow batch, vectorized: tokens are
+    factorized (C-level) so md5 runs ONCE per distinct token (memoized
+    across batches), hashes fan back out with one gather, and the bit-vote
+    is 64 segmented sums over uint32 halves (1-D ``np.add.reduceat`` — the
+    2-D/unpackbits paths measure 10-60× slower here). No per-token Python
+    in the hot path. Token hash = LE(first 8 md5 bytes), identical to
+    DuckDB's md5_number_upper, so the SQL oracle replays it exactly."""
     import hashlib
     out = np.zeros(len(texts), dtype=np.int64)
+    flat: list[str] = []
+    starts: list[int] = []
+    lens: list[int] = []
+    rows: list[int] = []
     for i, t in enumerate(texts):
         if t is None:
             continue
         toks = str(t).lower().split()
         if not toks:
             continue
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
-            dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        sim |= np.uint64(np.packbits((votes > 0)[::-1]).view(">u8")[0])
-        out[i] = np.int64(sim.astype(np.uint64).view(np.int64))
+        rows.append(i)
+        starts.append(len(flat))
+        lens.append(len(toks))
+        flat.extend(toks)
+    if not flat:
+        return pd.Series(out)
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    memo = _SIMHASH_MEMO
+    if len(memo) > _SIMHASH_MEMO_MAX:
+        memo.clear()
+    md5 = hashlib.md5
+    uniq_hash = np.empty(len(uniq), dtype=np.uint64)
+    for j, u in enumerate(uniq):
+        h = memo.get(u)
+        if h is None:
+            h = int.from_bytes(md5(u.encode()).digest()[:8], "little")
+            memo[u] = h
+        uniq_hash[j] = h
+    hs = uniq_hash[codes]
+    starts_a = np.asarray(starts, dtype=np.int64)
+    rows_a = np.asarray(rows, dtype=np.int64)
+    ones = np.empty((len(rows_a), 64), dtype=np.int64)
+    halves = ((hs & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+              (hs >> np.uint64(32)).astype(np.uint32))
+    for h_i, arr in enumerate(halves):
+        for k in range(32):
+            b = (arr >> np.uint32(k)) & np.uint32(1)
+            ones[:, 32 * h_i + k] = np.add.reduceat(b, starts_a,
+                                                    dtype=np.int64)
+    votes_positive = 2 * ones > np.asarray(lens, dtype=np.int64)[:, None]
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    sims = (votes_positive.astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64)
+    out[rows_a] = sims.view(np.int64)
     return pd.Series(out)
+
+
+_simhash64 = pandas_udf(LongType())(_simhash64_batch)
 
 
 def simhash_dedup(docs: DataFrame, id_col: str = "doc_id",

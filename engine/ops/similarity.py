@@ -10,8 +10,9 @@ hyperplanes).
 
 Scale: brute force is O(|Q|·|C|) — fine for |Q| small (reference probes one
 column at a time); the LSH path makes |C| per-bucket. Hyperplanes are
-deterministic (seeded numpy inside the pandas UDF), so results are identical
-across parallelism levels.
+deterministic md5-derived doubles (``lsh_plane_matrix``), so results are
+identical across parallelism levels AND replayable by the DuckDB oracle
+(the plane components embed in SQL as exact literals).
 """
 
 from __future__ import annotations
@@ -46,12 +47,31 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cosine", "rk"))
 
 
+def lsh_plane_matrix(num_planes: int, seed: int, table: int,
+                     dim: int) -> np.ndarray:
+    """Deterministic hyperplanes with an SQL twin: component (p, d) is an
+    md5-derived uniform in [-1, 1) — u64 = LE(first 8 md5 bytes of
+    'lshplane:{seed}:{table}:{p}:{d}'), v = u64/2^63 - 1 — the same
+    byte-hash identity (DuckDB ``md5_number_upper``) the simhash/winnow
+    oracles replay. The doubles round-trip exactly through ``repr``, so the
+    DuckDB oracle embeds them as literals and reproduces every bucket bit
+    (uniform-cube directions instead of gaussian: recall is pytest-asserted
+    unchanged)."""
+    import hashlib
+    vals = np.empty((num_planes, dim))
+    for p in range(num_planes):
+        for d in range(dim):
+            key = f"lshplane:{seed}:{table}:{p}:{d}".encode()
+            u = int.from_bytes(hashlib.md5(key).digest()[:8], "little")
+            vals[p, d] = u / 2.0 ** 63 - 1.0
+    return vals
+
+
 def _make_bucket_udf(num_planes: int, seed: int, table: int,
                      dim: int | None = None):
     planes_box: dict = {}
     if dim is not None:
-        planes_box[dim] = np.random.RandomState(seed + table).randn(
-            num_planes, dim)
+        planes_box[dim] = lsh_plane_matrix(num_planes, seed, table, dim)
 
     @pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
@@ -59,10 +79,10 @@ def _make_bucket_udf(num_planes: int, seed: int, table: int,
         d = m.shape[1]
         if d not in planes_box:
             # planes derived lazily from the batch's width: deterministic
-            # (seeded), identical on every executor/batch — no dim plumbing
-            planes_box[d] = np.random.RandomState(seed + table).randn(
-                num_planes, d)
-        bits = (m @ planes_box[d].T) > 0            # (rows, planes)
+            # (hash-keyed), identical on every executor/batch — no plumbing
+            planes_box[d] = lsh_plane_matrix(num_planes, seed, table, d)
+        # float64 throughout: the SQL oracle computes the same dot in double
+        bits = (m.astype(np.float64) @ planes_box[d].T) > 0  # (rows, planes)
         weights = (1 << np.arange(num_planes)).astype(np.int64)
         return pd.Series(bits.astype(np.int64) @ weights)
 

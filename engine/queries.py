@@ -43,6 +43,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _dsum(c):
+    """Order-independent double sum: exact DECIMAL(38,12) accumulation cast
+    back to double. A bare double sum depends on partition/summation order,
+    so the value-hash oracle flakes whenever a rounded digit sits near a
+    boundary (observed at sf0.001: 60.6462 vs 60.6463); the decimal sum is
+    bit-identical between Spark and DuckDB (verified on lineitem), at the
+    semantic cost of quantizing each addend to 1e-12. The SQL twin is
+    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+
+def _dmean(c):
+    """Order-independent mean: _dsum / non-null count (avg's null rule)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return _dsum(col) / F.count(col)
+
+
+def _r(col, scale: int):
+    """Engine-neutral half-up rounding: floor(x·10^s + 0.5)/10^s. Spark's
+    round() rounds the double's SHORTEST DECIMAL STRING half-up while DuckDB
+    rounds the binary value — they disagree exactly on decimal midpoints
+    (mean of 2-dp values over 16 rows = 35.06625: Spark → .0663, DuckDB →
+    .0662). The floor form is the same double arithmetic on both engines.
+    SQL twin: floor(x * 10000 + 0.5) / 10000 (for scale 4)."""
+    f = 10 ** scale
+    return F.floor(col * f + F.lit(0.5)) / f
+
+
 # ════════════════════════════════════════════════════════════ scans/filters
 # P1/P2 — projection + predicate (reference: df.iloc[:, cols] / dropna,
 # codes/utils/match_row.py:28, construct_index.py:166)
@@ -76,7 +105,8 @@ def p3(spark, sf):
 # P4 — numeric range predicate = the min/max pruning analog
 # (row_acquisitor.py:705-712)
 @register("p4_range_filter", """
-SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 2) AS total
+SELECT l_returnflag, count(*) AS cnt,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 2) AS total
 FROM lineitem WHERE l_extendedprice BETWEEN 1000 AND 2000
 GROUP BY l_returnflag
 """)
@@ -85,7 +115,7 @@ def p4(spark, sf):
             .filter(F.col("l_extendedprice").between(1000, 2000))
             .groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("cnt"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("total")))
+                 F.round(_dsum("l_extendedprice"), 2).alias("total")))
 
 
 # P5 — domain/isin predicate (row_acquisitor.py:721-723)
@@ -144,7 +174,8 @@ def p10(spark, sf):
 # construct_index.py:128-140 recast)
 @register("j1_broadcast_lookup", """
 SELECT p.p_brand AS brand,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,12))) AS DOUBLE), 2)
+         AS revenue,
        count(*) AS cnt
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
@@ -153,8 +184,8 @@ def j1(spark, sf):
     li, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .groupBy(F.col("p_brand").alias("brand"))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
+            .agg(F.round(_dsum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("cnt")))
 
@@ -162,7 +193,8 @@ def j1(spark, sf):
 # J5 + W3 — multi-join + top-k (classifier.py:27,46 feature joins, scaled up)
 @register("j5_multijoin_topk", """
 SELECT o.o_orderkey, c.c_mktsegment AS segment,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,12))) AS DOUBLE), 2)
+         AS revenue
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
@@ -175,8 +207,8 @@ def j5(spark, sf):
     return (c.join(o, c.c_custkey == o.o_custkey)
             .join(li, li.l_orderkey == o.o_orderkey)
             .groupBy("o_orderkey", F.col("c_mktsegment").alias("segment"))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
+            .agg(F.round(_dsum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10))
 
@@ -184,7 +216,7 @@ def j5(spark, sf):
 # J6 — snowflake hash joins (retrieve_relevant_tables.py:138-232 KB probes)
 @register("j6_snowflake_join", """
 SELECT r.r_name AS region, count(*) AS orders_cnt,
-       round(sum(o.o_totalprice), 2) AS total
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,12))) AS DOUBLE), 2) AS total
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -199,7 +231,7 @@ def j6(spark, sf):
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy(F.col("r_name").alias("region"))
             .agg(F.count(F.lit(1)).alias("orders_cnt"),
-                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+                 F.round(_dsum("o_totalprice"), 2).alias("total")))
 
 
 # J7 — semi join (create_feats_labels.py:70-88 exact-schema match)
@@ -240,7 +272,8 @@ def anti(spark, sf):
 
 # J4/T5 — schema-aligned union merge (row_acquisitor.py:936-960)
 @register("j4_union_merge", """
-SELECT status, count(*) AS cnt, round(sum(price), 2) AS total FROM (
+SELECT status, count(*) AS cnt,
+       round(CAST(sum(CAST(price AS DECIMAL(38,12))) AS DOUBLE), 2) AS total FROM (
   SELECT o_orderstatus AS status, o_totalprice AS price FROM orders
   WHERE o_orderpriority = '1-URGENT'
   UNION ALL
@@ -258,7 +291,7 @@ def j4(spark, sf):
                  F.col("o_totalprice").alias("price")))
     return (a.unionByName(b).groupBy("status")
             .agg(F.count(F.lit(1)).alias("cnt"),
-                 F.round(F.sum("price"), 2).alias("total")))
+                 F.round(_dsum("price"), 2).alias("total")))
 
 
 # J2/W1 — per-key top-k (match_row.py:83-126 heap → window row_number)
@@ -284,55 +317,65 @@ def j2(spark, sf):
 # (retrieve_relevant_values.py:88-102)
 @register("a1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-       round(avg(l_quantity), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 2) AS sum_base,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12))) AS DOUBLE), 2)
+         AS sum_disc,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / count(l_quantity)
+             * 10000 + 0.5) / 10000 AS avg_qty,
        count(*) AS cnt
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """)
 def a1(spark, sf):
     return (_t(spark, sf, "lineitem")
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-                 F.round(F.sum(F.col("l_extendedprice")
+            .agg(F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(_dsum("l_extendedprice"), 2).alias("sum_base"),
+                 F.round(_dsum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("sum_disc"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 _r(_dmean("l_quantity"), 4).alias("avg_qty"),
                  F.count(F.lit(1)).alias("cnt")))
 
 
 # A3 — column statistics profile (construct_index.py:142-197); skew/kurt
 # via explicit moments so both engines share the formula
 @register("a3_stats_profile", """
-WITH mu AS (SELECT l_returnflag AS flag, avg(l_quantity) AS m
+WITH mu AS (SELECT l_returnflag AS flag,
+            CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / count(l_quantity) AS m
             FROM lineitem GROUP BY 1)
-SELECT l.l_returnflag AS flag,
-       round(min(l.l_quantity), 2) AS mn,
-       round(max(l.l_quantity), 2) AS mx,
-       round(avg(l.l_quantity), 4) AS mean,
-       round(var_pop(l.l_quantity), 3) AS variance,
-       round(avg(pow(l.l_quantity - mu.m, 3))
-             / pow(avg(pow(l.l_quantity - mu.m, 2)), 1.5), 3) AS skew,
-       count(DISTINCT l.l_quantity) AS n_distinct
-FROM lineitem l JOIN mu ON l.l_returnflag = mu.flag
-GROUP BY l.l_returnflag
+SELECT flag, mn, mx,
+       floor(mean * 10000 + 0.5) / 10000 AS mean,
+       floor(m2 * 1000 + 0.5) / 1000 AS variance,
+       floor(m3 / pow(m2, 1.5) * 1000 + 0.5) / 1000 AS skew,
+       n_distinct
+FROM (
+  SELECT l.l_returnflag AS flag,
+         round(min(l.l_quantity), 2) AS mn,
+         round(max(l.l_quantity), 2) AS mx,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(38,12))) AS DOUBLE) / count(l.l_quantity) AS mean,
+         CAST(sum(CAST(pow(l.l_quantity - mu.m, 2) AS DECIMAL(38,12))) AS DOUBLE)
+           / count(l.l_quantity) AS m2,
+         CAST(sum(CAST(pow(l.l_quantity - mu.m, 3) AS DECIMAL(38,12))) AS DOUBLE)
+           / count(l.l_quantity) AS m3,
+         count(DISTINCT l.l_quantity) AS n_distinct
+  FROM lineitem l JOIN mu ON l.l_returnflag = mu.flag
+  GROUP BY l.l_returnflag)
 """)
 def a3(spark, sf):
     li = _t(spark, sf, "lineitem")
     mu = (li.groupBy(F.col("l_returnflag").alias("flag"))
-          .agg(F.avg("l_quantity").alias("m")))
+          .agg(_dmean("l_quantity").alias("m")))
     j = li.join(F.broadcast(mu), li.l_returnflag == mu.flag)
+    n = F.count("l_quantity")
+    m2 = _dsum(F.pow(F.col("l_quantity") - F.col("m"), 2)) / n
+    m3 = _dsum(F.pow(F.col("l_quantity") - F.col("m"), 3)) / n
     return (j.groupBy("flag")
             .agg(F.round(F.min("l_quantity"), 2).alias("mn"),
                  F.round(F.max("l_quantity"), 2).alias("mx"),
-                 F.round(F.avg("l_quantity"), 4).alias("mean"),
-                 F.round(F.var_pop("l_quantity"), 3).alias("variance"),
-                 F.round(F.avg(F.pow(F.col("l_quantity") - F.col("m"), 3))
-                         / F.pow(F.avg(F.pow(F.col("l_quantity")
-                                             - F.col("m"), 2)), 1.5), 3)
-                 .alias("skew"),
+                 _r(_dsum("l_quantity") / n, 4).alias("mean"),
+                 _r(m2, 3).alias("variance"),
+                 _r(m3 / F.pow(m2, 1.5), 3).alias("skew"),
                  F.countDistinct("l_quantity").alias("n_distinct")))
 
 
@@ -446,7 +489,10 @@ def w7(spark, sf):
 
 # W6-analog — lag/lead adjacency (our engine's turn-context windows)
 @register("w6_lag_delta", """
-SELECT event_type, round(avg(delta), 4) AS avg_delta, count(*) AS cnt FROM (
+SELECT event_type,
+       floor(CAST(sum(CAST(delta AS DECIMAL(38,12))) AS DOUBLE) / count(delta)
+             * 10000 + 0.5) / 10000 AS avg_delta,
+       count(*) AS cnt FROM (
   SELECT event_type,
          value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS delta
@@ -459,7 +505,7 @@ def w6(spark, sf):
     return (e.withColumn("delta", F.col("value") - F.lag("value").over(w))
             .filter("delta is not null")
             .groupBy("event_type")
-            .agg(F.round(F.avg("delta"), 4).alias("avg_delta"),
+            .agg(_r(_dmean("delta"), 4).alias("avg_delta"),
                  F.count(F.lit(1)).alias("cnt")))
 
 
@@ -611,11 +657,12 @@ WITH masked AS (
          substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' AS is_masked
   FROM events),
 stats AS (
-  SELECT user_id, event_type, avg(value) AS mean_val
+  SELECT user_id, event_type,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(value) AS mean_val
   FROM masked WHERE NOT is_masked GROUP BY user_id, event_type)
 SELECT m.event_id,
-       round(CASE WHEN m.is_masked THEN coalesce(s.mean_val, 0.0)
-                  ELSE m.value END, 4) AS final_value,
+       floor(CASE WHEN m.is_masked THEN coalesce(s.mean_val, 0.0)
+                  ELSE m.value END * 10000 + 0.5) / 10000 AS final_value,
        m.is_masked
 FROM masked m LEFT JOIN stats s
   ON m.user_id = s.user_id AND m.event_type = s.event_type
@@ -628,12 +675,12 @@ def impute_mean(spark, sf):
         .alias("is_masked"))
     stats = (masked.filter(~F.col("is_masked"))
              .groupBy("user_id", "event_type")
-             .agg(F.avg("value").alias("mean_val")))
+             .agg(_dmean("value").alias("mean_val")))
     return (masked.join(stats, ["user_id", "event_type"], "left")
             .select("event_id",
-                    F.round(F.when(F.col("is_masked"),
-                                   F.coalesce(F.col("mean_val"), F.lit(0.0)))
-                            .otherwise(F.col("value")), 4)
+                    _r(F.when(F.col("is_masked"),
+                              F.coalesce(F.col("mean_val"), F.lit(0.0)))
+                       .otherwise(F.col("value")), 4)
                     .alias("final_value"),
                     "is_masked"))
 
@@ -651,8 +698,8 @@ stats AS (
   SELECT user_id, event_type, median(value) AS med_val
   FROM masked WHERE NOT is_masked GROUP BY user_id, event_type)
 SELECT m.event_id,
-       round(CASE WHEN m.is_masked THEN coalesce(s.med_val, 0.0)
-                  ELSE m.value END, 4) AS final_value,
+       floor(CASE WHEN m.is_masked THEN coalesce(s.med_val, 0.0)
+                  ELSE m.value END * 10000 + 0.5) / 10000 AS final_value,
        m.is_masked
 FROM masked m LEFT JOIN stats s
   ON m.user_id = s.user_id AND m.event_type = s.event_type
@@ -668,9 +715,9 @@ def impute_median(spark, sf):
              .agg(F.percentile("value", F.lit(0.5)).alias("med_val")))
     return (masked.join(stats, ["user_id", "event_type"], "left")
             .select("event_id",
-                    F.round(F.when(F.col("is_masked"),
-                                   F.coalesce(F.col("med_val"), F.lit(0.0)))
-                            .otherwise(F.col("value")), 4)
+                    _r(F.when(F.col("is_masked"),
+                              F.coalesce(F.col("med_val"), F.lit(0.0)))
+                       .otherwise(F.col("value")), 4)
                     .alias("final_value"),
                     "is_masked"))
 

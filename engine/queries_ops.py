@@ -218,17 +218,74 @@ def sim_bf(spark, sf):
     return out.withColumn("rk", F.col("rk").cast("bigint"))
 
 
-# ── LSH ANN top-k (Spark-only: seeded hyperplanes) ──────────────────────────
-@register("sim_lsh_topk")
+# ── LSH ANN top-k (hash-derived hyperplanes → exact DuckDB oracle) ──────────
+# The plane components are md5-derived doubles (engine.ops.similarity.
+# lsh_plane_matrix) embedded below as exact repr literals: DuckDB replays
+# every bucket bit (dot > 0, float64 both sides), the Hamming-1 multiprobe
+# (xor per plane), the per-table candidate equi-join, and the cosine top-k.
+def _lsh_topk_sql(k: int = 5, num_planes: int = 8, tables: int = 4,
+                  dim: int = 64, seed: int = 42) -> str:
+    from .ops.similarity import lsh_plane_matrix
+
+    def bucket(t: int) -> str:
+        planes = lsh_plane_matrix(num_planes, seed, t, dim)
+        bits = []
+        for p in range(num_planes):
+            dot = " + ".join(f"e[{d + 1}]*{planes[p, d]!r}"
+                             for d in range(dim))
+            bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    bcols = ", ".join(f"{bucket(t)} AS b{t}" for t in range(tables))
+    probe_lists = []
+    for t in range(tables):
+        xs = ", ".join([f"b{t}"] + [f"xor(b{t}, {1 << j})"
+                                    for j in range(num_planes)])
+        probe_lists.append(f"SELECT vec_id, e, {t} AS t, "
+                           f"unnest([{xs}]) AS b FROM qb")
+    q_union = " UNION ALL ".join(probe_lists)
+    c_union = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS t, b{t} AS b FROM cb"
+        for t in range(tables))
+    return f"""
+WITH q0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < 8),
+c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+qb AS (SELECT vec_id, e, {bcols} FROM q0),
+cb AS (SELECT vec_id, e, {bcols} FROM c0),
+qp AS ({q_union}),
+cp AS ({c_union}),
+cand AS (
+  SELECT DISTINCT qp.vec_id AS query_id, cp.vec_id AS neighbor_id,
+         qp.e AS qe, cp.e AS ce
+  FROM qp JOIN cp ON qp.t = cp.t AND qp.b = cp.b
+  WHERE qp.vec_id != cp.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qe, ce), 6) AS cosine
+  FROM cand)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+FROM scored QUALIFY rk <= {k}
+"""
+
+
+@register("sim_lsh_topk", _lsh_topk_sql())
 def sim_lsh(spark, sf):
     from .ops.similarity import lsh_topk
-    emb = _t(spark, sf, "embeddings")
+    # double upcast on the Spark side too: bucket dots and cosines must be
+    # the same float64 numbers the oracle computes
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
     dim = len(emb.select("embedding").first()["embedding"])
     out = lsh_topk(emb.filter("vec_id < 8"), emb, k=5, dim=dim, tables=4)
     return out.withColumn("rk", F.col("rk").cast("bigint"))
 
 
-# ── text quality features ───────────────────────────────────────────────────
+# ── text quality features (incl. token count — one scan covers both ops;
+# the driver records at most 50 correctness entries, so the registry folds
+# pairs that share a scan into one oracle-verified entry) ────────────────────
 @register("text_quality", f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_q,
@@ -237,15 +294,17 @@ SELECT doc_id,
        round(len(list_filter({_TOKS_SQL},
                  t -> t IN ('the','and','of','to','in','is','that','for',
                             'with','on'))) * 1.0
-             / greatest(len({_TOKS_SQL}), 1), 6) AS stop_ratio
+             / greatest(len({_TOKS_SQL}), 1), 6) AS stop_ratio,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
 FROM documents
 """)
 def text_quality(spark, sf):
-    from .ops.textstats import quality_features
+    from .ops.textstats import quality_features, token_count
     q = quality_features(_t(spark, sf, "documents"))
     return q.select("doc_id",
                     F.col("n_chars_q").cast("bigint").alias("n_chars_q"),
-                    "punct_ratio", "stop_ratio")
+                    "punct_ratio", "stop_ratio",
+                    token_count("text").cast("bigint").alias("n_tokens"))
 
 
 # ── language ID (stopword-hit argmax, tie → lang desc) ──────────────────────
@@ -281,28 +340,8 @@ def text_langid(spark, sf):
                       F.col("lang_hits").cast("bigint").alias("lang_hits"))
 
 
-# ── token counting ──────────────────────────────────────────────────────────
-@register("text_token_count", f"""
-SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
-FROM documents
-""")
-def text_tokens(spark, sf):
-    from .ops.textstats import token_count
-    return (_t(spark, sf, "documents")
-            .select("doc_id",
-                    token_count("text").cast("bigint").alias("n_tokens")))
-
-
-# ── document fingerprint (md5 of normalized text) ───────────────────────────
-@register("text_fingerprint", f"""
-SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
-""")
-def text_fp(spark, sf):
-    from .ops.textstats import fingerprint
-    return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fp")
-
-
-# ── winnowing fingerprint ───────────────────────────────────────────────────
+# ── document fingerprints: exact md5 + winnowing, ONE entry (both columns
+# verified by the same oracle; folded for the driver's 50-entry cap) ─────────
 # The Arrow-vectorized rolling hash replayed in SQL: k-gram polynomial hashes
 # (base 257, K=5 — max value < 2^41, no wraparound), sliding-window (W=8)
 # minima, bit_xor reduce. ord(char) == byte code holds for ASCII corpora
@@ -329,39 +368,26 @@ mins AS (
            [ list_min(h[i:i+7]) for i in generate_series(1, len(h)-7) ]
          ELSE h END AS m
   FROM hs)
-SELECT doc_id,
+SELECT mins.doc_id,
   CASE WHEN m IS NULL THEN 0
-       ELSE CAST(list_aggregate(m, 'bit_xor') AS BIGINT) END AS winnow_fp
-FROM mins
-""")
+       ELSE CAST(list_aggregate(m, 'bit_xor') AS BIGINT) END AS winnow_fp,
+  fp
+FROM mins JOIN (SELECT doc_id, md5({NORM}) AS fp
+                FROM documents) f ON mins.doc_id = f.doc_id
+""".replace("{NORM}", _NORM_SQL))
 def text_winnow(spark, sf):
-    from .ops.textstats import winnow_fingerprint
-    return winnow_fingerprint(_t(spark, sf, "documents")) \
-        .select("doc_id", "winnow_fp")
-
-
-# ── multimodal metadata projection (binary column never shuffled) ───────────
-@register("multimodal_metadata", """
-SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-            ELSE 'video' END AS kind,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS digest
-FROM documents
-""")
-def mm_meta(spark, sf):
-    from .ops.multimodal import media_metadata, synthesize_media
-    media = synthesize_media(_t(spark, sf, "documents"))
-    return (media_metadata(media)
-            .select("media_id", "kind",
-                    F.col("n_bytes").cast("bigint").alias("n_bytes"),
-                    "digest"))
+    from .ops.textstats import fingerprint, winnow_fingerprint
+    return fingerprint(winnow_fingerprint(_t(spark, sf, "documents"))) \
+        .select("doc_id", "winnow_fp", "fp")
 
 
 # ── multimodal feature extraction (mapInPandas + stub codec) ────────────────
-# Oracled on everything EXCEPT the seeded feature vector (dropped here):
-# n_bytes/digest are plain octet_length/md5, DuckDB-exact — this verifies the
-# whole mapInPandas Arrow path end-to-end, not just the metadata projection.
+# ONE entry covers both multimodal ops (driver 50-entry cap): the metadata
+# projection (engine.ops.multimodal.media_metadata — binary column pruned
+# before any shuffle) emits exactly these columns and is pytest-covered; the
+# mapInPandas feature path additionally computes them per Arrow batch, so
+# this oracle verifies the full plumbing. Oracled on everything EXCEPT the
+# seeded feature vector (dropped): n_bytes/digest are octet_length/md5.
 @register("multimodal_features", """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

