@@ -356,10 +356,12 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                 source_bytes = _string_bytes(source)
             broadcast_source = source_bytes <= BROADCAST_MAX_BYTES
 
+    t_meta = time.time()
     snap = table.current_snapshot()
     entries = table.manifest_entries(snap)
     affected = prune_files(entries, preds)
     affected_paths = [e.path for e in affected]
+    _tmark("merge.plan_metadata", t_meta)
 
     rec = ckpt.get("rewrite")
     if rec is not None:
@@ -441,6 +443,7 @@ def impute_merge(spark: SparkSession, table: Table,
     (engine.skew.hot_keys) computed from the already-persisted context frame
     — a narrow agg over cached sig-rows instead of a second full table
     scan."""
+    t_setup = time.time()
     df = scan(spark, table)
     # fused-clustering prep (metadata-only): output file count + ts bounds
     # from the manifests; the curve KEY rides the context pass below so the
@@ -485,6 +488,7 @@ def impute_merge(spark: SparkSession, table: Table,
     # string-heavy frame costs more than the aggregation itself.
     # Eager fill of the shared ctx/work caches in dependency order (one
     # sequential job) before the big combined action.
+    _tmark("impute.setup", t_setup)
     t0 = time.time()
     work.count()
     _tmark("impute.ctx_work_fill", t0)
@@ -554,12 +558,15 @@ def impute_merge(spark: SparkSession, table: Table,
         _tmark("impute.curve_bounds", t0)
         curve_kw = {"curve": curve, "curve_bounds_list": cb,
                     "ts_bounds": ts_b, "num_files": n_out}
+    t0 = time.time()
     snap = merge_into(spark, table, src, update_map, pass_id=pass_id,
                       target_bytes=target_bytes,
                       predicates=preds, source_rows=n_src,
                       source_bytes=src_bytes, **curve_kw)
+    t0 = _tmark("impute.merge_into_total", t0)
     if hot_future is not None:
         hot = hot_future.result()
+        _tmark("impute.hot_keys_wait", t0)
         pool.shutdown()
         stats_out["hot_conversations"] = len(hot)
         stats_out["hot_max_turns"] = max((r["hot_count"] for r in hot),

@@ -65,6 +65,13 @@ def get_spark(app: str = "transcript-lakehouse",
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.files.maxPartitionBytes", "134217728")
          .config("spark.sql.parquet.filterPushdown", "true")
+         # list explicit file sets on the driver up to 2048 paths: the
+         # default threshold (32) launches a distributed listing JOB for
+         # every snapshot-pinned read — ~2 s of serial latency when it is
+         # the session's first job. A real deployment keeps the distributed
+         # listing for genuinely huge manifests (>2048 files per read).
+         .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                 "2048")
          # cached frames here are consumed 2-3× then dropped: the columnar
          # cache builder's compression passes cost more than they save
          # (ctx fill measured ~20% faster uncompressed); flip per-workload

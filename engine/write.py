@@ -147,9 +147,14 @@ def stage_dataframe(table: Table, df: DataFrame,
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     staging = os.path.join(table.root, ".staging", uuid.uuid4().hex)
+    import time as _time
+    from .merge import _tmark
+    t0 = _time.time()
     df.write.mode("overwrite").parquet(staging)
+    t0 = _tmark("write.parquet_job", t0)
     parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
     entries = table.register_staged_files(parts)
+    _tmark("write.register_stats", t0)
     shutil.rmtree(staging, ignore_errors=True)
     return entries
 
