@@ -93,6 +93,34 @@ def main() -> None:
         "solved to land each curve segment in its own partition.",
         plan_of(fused)))
 
+    from engine.write import partition_reps
+    entries = t.manifest_entries()
+    reps = partition_reps(4)
+    route = [(os.path.basename(e.path), reps[j % 4])
+             for j, e in enumerate(entries)]
+    mapping = F.broadcast(
+        spark.createDataFrame(route, "__cmp_base string, __cmp_rep long"))
+    comp_df = (spark.read.parquet(
+                   *[os.path.join(t.root, e.path) for e in entries])
+               .withColumn("__cmp_base",
+                           F.element_at(F.split(F.input_file_name(), "/"),
+                                        -1))
+               .join(mapping, "__cmp_base")
+               .repartition(4, F.col("__cmp_rep"))
+               .drop("__cmp_base", "__cmp_rep")
+               .sortWithinPartitions("conv_id", "turn_idx"))
+    sections.append((
+        "Single-job compaction routing",
+        "A whole bin-pack plan (any group count) compacts in ONE job: rows "
+        "are tagged with their file's basename at the scan "
+        "(input_file_name — free), routed to their group via a broadcast "
+        "hash join (never a shuffle), and placed in exactly one output "
+        "partition per group by a murmur3-solved representative value "
+        "(pmod(hash(rep_j), n) == j by construction). The only exchanges "
+        "are the tiny broadcast and the single repartition; the r2 design "
+        "scheduled one driver-sequenced Spark job per group.",
+        plan_of(comp_df)))
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
     with open(os.path.join(here, "BENCH", "PLANS.md"), "w") as f:
