@@ -448,6 +448,12 @@ def run_maintenance(spark: SparkSession, table: Table,
     from .merge import impute_merge
     pass_id = pass_id or uuid.uuid4().hex[:8]
     out: dict = {"pass_id": pass_id}
+    snap = table.current_snapshot()
+    if snap is None or not table.manifest_entries(snap):
+        # a scheduled cadence hitting a fresh/empty table is a no-op, not a
+        # crash (the first append creates the work)
+        out["skipped"] = "empty table"
+        return out
     fused = not separate_compaction
     t0 = time.time()
     # hot-conversation skew report (engine.skew) comes out of the merge

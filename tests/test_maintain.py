@@ -318,3 +318,25 @@ def test_sweep_distributed_delete_parity(spark, tmp_table_root, monkeypatch):
         assert not os.path.exists(os.path.join(t.root, rel))
     for e in t.manifest_entries():
         assert os.path.exists(os.path.join(t.root, e.path))
+
+
+def test_maintenance_on_empty_table_is_noop(spark, tmp_table_root):
+    """A scheduled cadence hitting a fresh table must not crash."""
+    t = Table.create(tmp_table_root)
+    out = run_maintenance(spark, t, target_bytes=1 << 20, grace_seconds=0.0)
+    assert out.get("skipped") == "empty table"
+
+
+def test_merge_empty_source_commits_noop_snapshot(spark, tmp_table_root):
+    """MERGE with an empty source commits a no-op snapshot (idempotent
+    cadence step) and leaves every row untouched."""
+    from pyspark.sql import functions as F
+
+    from engine.merge import merge_into
+    t, df = _setup(spark, tmp_table_root, convs=10, files=2)
+    before = sorted_rows(scan(spark, t))
+    src = df.select("conv_id", "turn_idx",
+                    F.lit(None).cast("string").alias("upd_text")).limit(0)
+    snap = merge_into(spark, t, src, {"text": "upd_text"}, pass_id="e1")
+    assert snap.operation == "merge"
+    assert sorted_rows(scan(spark, t)) == before
