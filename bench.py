@@ -445,6 +445,23 @@ def main() -> None:
                                     cpu_offset=_off(j))); j += 1
             hi_runs.append(_run_sub(n_hi, num_convs, work_dir, pristine,
                                     cpu_offset=_off(j))); j += 1
+        # adaptive extension: a >25% spread within a width means at least
+        # one sample was contended (byte-identical work) — spend up to ~3.5
+        # extra minutes on one more sample of each affected width so a
+        # stormy window still has a chance to catch a clean run
+        def _spread(runs: list[dict]) -> float:
+            vals = [r["turns_per_sec"] for r in runs]
+            return max(vals) / max(1e-9, min(vals))
+
+        extensions = 0
+        if _spread(hi_runs) > 1.25:
+            hi_runs.append(_run_sub(n_hi, num_convs, work_dir, pristine,
+                                    cpu_offset=_off(j))); j += 1
+            extensions += 1
+        if _spread(lo_runs) > 1.25:
+            lo_runs.append(_run_sub(n_lo, num_convs, work_dir, pristine,
+                                    cpu_offset=_off(j))); j += 1
+            extensions += 1
         full = (lo_runs[0] if args.cpus <= n_lo
                 else _run_sub(args.cpus, num_convs, work_dir, pristine)
                 if args.cpus > n_hi else hi_runs[0])
@@ -506,6 +523,7 @@ def main() -> None:
                 if args.cpus == 32 else None),
             "median_n": med_n, "median_4n": med_4n,
             "reps": reps,
+            "extensions": extensions,
             "turns": hi["turns"],
         }
         write_baseline_md(sf, lo, hi, full, args.cpus, eff,
