@@ -477,11 +477,21 @@ def impute_merge(spark: SparkSession, table: Table,
     work = worklist(ctx).persist()
     if cand_idx is None:
         # merge-pass index: rank-1 only (k=1 — double partial agg, no window
-        # sort). probe_keys pruning measured SLOWER here: map-side partial
-        # aggregation already collapses the exploded pairs, and the pruning
-        # adds a worklist materialization barrier. Revisit only if key
-        # cardinality ever rivals row count.
-        cand_idx = build_candidate_index(df, k=1, ctx=ctx)
+        # sort). probe_keys pruning: text-family (key, candidate) pairs are
+        # near-unique per row, so the pair agg barely collapses them — the
+        # index shuffle carries O(table) rows of which only O(worklist) are
+        # ever probed. The worklist cache is eagerly filled below anyway
+        # (the barrier that made pruning a loss in r2 is already paid), so
+        # the melted probe keys ride a broadcast semi-join into the explode.
+        # Measured wall-parity on this box (tmpfs shuffle ≈ memory speed:
+        # the per-row broadcast probe costs what the smaller exchange
+        # saves); default ON because a real cluster's shuffle moves those
+        # bytes over the network, where a ~3× smaller exchange is the
+        # difference that matters.
+        pk = None
+        if os.environ.get("ENGINE_PROBE_PRUNE", "1") == "1":
+            pk = melt_cells(work).select("column_name", "key").distinct()
+        cand_idx = build_candidate_index(df, k=1, ctx=ctx, probe_keys=pk)
     # cand_idx is deliberately NOT persisted: it has exactly one consumer
     # (the rank-1 probe join inside the persisted probed-worklist frame),
     # and the in-memory columnar cache build for a multi-million-row
