@@ -140,25 +140,54 @@ def curve_key(strategy: str = "zorder", ts_col: str = "ts",
         else hilbert_key(ts_col, conv_col, ts_bounds)
 
 
-def curve_bounds(df: DataFrame, strategy: str, num_files: int,
-                 ts_col: str = "ts", conv_col: str = "conv_id",
-                 ts_bounds: tuple[int, int] | None = None,
-                 rel_err: float = 0.003) -> list[int]:
-    """Curve-key partition boundaries via approxQuantile over a two-column
-    scan. Why not repartitionByRange: its sampler evaluates the FULL parent
-    rows a second time; the quantile pass here reads only (ts, conv_col) —
-    Parquet column pruning makes it a fraction of one full pass, and the
-    write pass then needs no sampling at all."""
-    key = curve_key(strategy, ts_col, conv_col, ts_bounds)
-    keyed = df.select(key.alias("__ckey"))
-    qs = [i / num_files for i in range(1, num_files)]
-    raw = keyed.stat.approxQuantile("__ckey", qs, rel_err)
+def sample_quantile_bounds(keyed: DataFrame, col: str, num_parts: int,
+                           rows_total: int,
+                           sample_rows: int = 400_000,
+                           seed: int = 42) -> list[int]:
+    """Partition boundaries from a seeded sample + EXACT numpy quantiles on
+    the driver. Shared by the fused merge+cluster path and the standalone
+    ``cluster()`` cadence: ``approxQuantile``'s GK sketch costs ~1 µs on
+    EVERY row (measured ~3× a sample at 6 M rows) — a 400 k sample bounds
+    per-file row imbalance to well under 1 % and the driver-side quantile is
+    microseconds. Deterministic at every parallelism level (seeded, and the
+    sample fraction derives from DATA SIZE, never core count). Returns a
+    strictly-increasing boundary list (duplicates collapsed)."""
+    if num_parts <= 1:
+        return []
+    import time as _time
+    from .merge import _tmark
+    t0 = _time.time()
+    frac = min(1.0, sample_rows / max(1, rows_total))
+    pdf = keyed.select(col).sample(fraction=frac, seed=seed).toPandas()
+    if len(pdf) == 0:
+        return []
+    qs = [i / num_parts for i in range(1, num_parts)]
+    raw = np.quantile(pdf[col].to_numpy(), qs)
     bounds: list[int] = []
     for b in raw:
         b = int(b)
         if not bounds or b > bounds[-1]:
             bounds.append(b)
+    _tmark("layout.sample_bounds", t0)
     return bounds
+
+
+def curve_bounds(df: DataFrame, strategy: str, num_files: int,
+                 ts_col: str = "ts", conv_col: str = "conv_id",
+                 ts_bounds: tuple[int, int] | None = None,
+                 rows_total: int | None = None) -> list[int]:
+    """Curve-key partition boundaries over a two-column scan (Parquet column
+    pruning makes it a fraction of one full pass, and the write pass then
+    needs no sampling at all — repartitionByRange's sampler would evaluate
+    the FULL parent rows a second time). Quantiles come from the shared
+    seeded-sample helper; ``rows_total`` (e.g. from manifest record counts)
+    avoids even the count job — when unknown, one count over the pruned
+    two-column scan is paid instead."""
+    key = curve_key(strategy, ts_col, conv_col, ts_bounds)
+    keyed = df.select(key.alias("__ckey"))
+    if rows_total is None:
+        rows_total = keyed.count()
+    return sample_quantile_bounds(keyed, "__ckey", num_files, rows_total)
 
 
 def cluster_dataframe(df: DataFrame, strategy: str = "zorder",

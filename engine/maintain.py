@@ -70,12 +70,22 @@ def compact(spark: SparkSession, table: Table,
 
     Per-group lineage+metrics checkpoint records are still written (one per
     group, after the write is durably staged), so a pass killed after staging
-    resumes by committing the recorded outputs without re-reading anything;
-    ``max_concurrency`` is retained for API compatibility (unused — there is
-    only one job now)."""
+    resumes by committing the recorded outputs without re-reading anything.
+
+    ``max_concurrency`` is DEPRECATED and ignored (a warning is emitted when a
+    caller passes a non-default value): the single-job design has no per-group
+    job fan-out left to bound — cap cluster load with Spark's own scheduler
+    pools / dynamic-allocation limits instead. Note the unified
+    ``spark.read.parquet`` over every group also assumes a UNIFORM schema
+    across all planned files (true for this engine's tables, which share one
+    manifest schema; the old per-group reads tolerated drift)."""
     from .merge import _adopt_crashed_commit
     from .write import partition_reps
-    _ = max_concurrency
+    if max_concurrency != 8:
+        import warnings
+        warnings.warn("compact(max_concurrency=...) is deprecated and ignored:"
+                      " the pass is one Spark job; bound cluster load via "
+                      "scheduler pools", DeprecationWarning, stacklevel=2)
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "compact")
     if ckpt.pass_committed():
@@ -186,8 +196,12 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
             *[os.path.join(table.root, p) for p in in_paths])
         ts_b = ts_bounds_micros(entries)
         # curve-key quantiles over a two-column scan replace the range
-        # sampler (which would re-evaluate the full rows a second time)
-        bounds = (curve_bounds(df, strategy, num_files, ts_bounds=ts_b)
+        # sampler (which would re-evaluate the full rows a second time);
+        # rows_total from the manifests skips even the count job, and the
+        # seeded-sample helper skips the per-row GK sketch (~3× cheaper)
+        rows_total = sum(e.record_count for e in entries)
+        bounds = (curve_bounds(df, strategy, num_files, ts_bounds=ts_b,
+                               rows_total=rows_total)
                   if num_files > 1 else None)
         out = cluster_dataframe(df, strategy=strategy, num_files=num_files,
                                 ts_bounds=ts_b, bounds=bounds)
@@ -294,7 +308,17 @@ def sweep_orphans(spark: SparkSession, table: Table,
     ``grace_seconds`` protects files newer than the grace window: a
     concurrent pass moves files into data/ BEFORE its checkpoint record
     exists, so sweeping at grace 0 while writers run would delete freshly
-    staged work."""
+    staged work.
+
+    Deployment requirement (backlog purge): the distributed unlink path runs
+    ``os.remove`` on EXECUTORS, which is only correct when executors share
+    the driver's POSIX filesystem (local mode, NFS, or a fuse-mounted object
+    store). The executor-side task COUNTS its successful/missing unlinks and
+    the driver re-verifies the result: if the cluster-side pass removed
+    nothing that still exists driver-side (the wrong-filesystem signature),
+    it falls back to a driver-side unlink loop instead of silently reporting
+    files as removed. On object stores, replace this with the store's bulk
+    delete API."""
     if distributed is None:
         distributed = _dir_entries_exceed(table.data_dir,
                                           _SWEEP_DISTRIBUTED_THRESHOLD)
@@ -312,12 +336,28 @@ def sweep_orphans(spark: SparkSession, table: Table,
             slices = max(1, min(64, len(orphans) // 1024))
 
             def _unlink(rels):
+                removed = missing = 0
                 for rel in rels:
+                    try:
+                        os.remove(os.path.join(root, rel))
+                        removed += 1
+                    except FileNotFoundError:
+                        missing += 1
+                yield (removed, missing)
+            counts = (sc.parallelize(list(orphans), slices)
+                      .mapPartitions(_unlink).collect())
+            removed = sum(r for r, _ in counts)
+            if removed == 0 and any(
+                    os.path.exists(os.path.join(root, rel))
+                    for rel in list(orphans)[:16]):
+                # executors don't see the driver's filesystem (non-shared
+                # storage): the cluster-side pass was a silent no-op — do the
+                # work driver-side rather than misreport files as removed
+                for rel in orphans:
                     try:
                         os.remove(os.path.join(root, rel))
                     except FileNotFoundError:
                         pass
-            sc.parallelize(list(orphans), slices).foreachPartition(_unlink)
         else:
             # steady-state sweep deletes few files; driver unlink is cheapest
             for rel in orphans:

@@ -542,29 +542,14 @@ def impute_merge(spark: SparkSession, table: Table,
         # fused clustering (see merge_into): curve bounds from the WARM ctx
         # cache (the key rode the context pass) — neither a table scan nor
         # a recompute of the merge join; valid because the merge never
-        # touches the curve dimensions. rel_err 0.02 ≈ ±2% rows per file:
-        # imbalance noise, at a third of the sketch cost of tighter errors.
+        # touches the curve dimensions. Shared seeded-sample quantile helper
+        # (engine.layout), same code path as the standalone cluster()
+        # cadence so both stay GK-sketch-free.
         n_out, ts_b = curve_prep["n_out"], curve_prep["ts_b"]
         t0 = time.time()
-        if n_out > 1:
-            # seeded sample → exact numpy quantiles on the driver: the GK
-            # sketch (approxQuantile) costs ~1 µs/row on EVERY row — at 6M
-            # rows that is seconds of low-parallelism work for 35 numbers.
-            # A 400k sample bounds per-file imbalance to well under 1%.
-            import numpy as np
-            rows_total = curve_prep["rows_total"]
-            frac = min(1.0, 400_000 / max(1, rows_total))
-            pdf = (ctx.select("__ckey").sample(fraction=frac, seed=42)
-                   .toPandas())
-            qs = [i / n_out for i in range(1, n_out)]
-            raw = np.quantile(pdf["__ckey"].to_numpy(), qs)
-            cb = []
-            for b in raw:
-                b = int(b)
-                if not cb or b > cb[-1]:
-                    cb.append(b)
-        else:
-            cb = []
+        from .layout import sample_quantile_bounds
+        cb = sample_quantile_bounds(ctx, "__ckey", n_out,
+                                    curve_prep["rows_total"])
         _tmark("impute.curve_bounds", t0)
         curve_kw = {"curve": curve, "curve_bounds_list": cb,
                     "ts_bounds": ts_b, "num_files": n_out}

@@ -78,6 +78,10 @@ def connected_components(pairs: DataFrame,
                                    "node")
                    .filter(F.col("comp") != F.col("old"))
                    .limit(1).count())
+        # free the PREVIOUS round's checkpoint blocks — without this a
+        # high-diameter input holds O(rounds) copies of the label table in
+        # block-manager storage for the life of the session
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

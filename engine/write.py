@@ -152,7 +152,12 @@ def stage_dataframe(table: Table, df: DataFrame,
     t0 = _time.time()
     df.write.mode("overwrite").parquet(staging)
     t0 = _tmark("write.parquet_job", t0)
-    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    # sort by the PARSED part index, not lexicographically: Spark zero-pads
+    # to %05d, so at ≥100k shuffle partitions "part-100000" would sort before
+    # "part-99999" and break callers that map part position → plan position
+    # (compact()'s part↔group checkpoint alignment)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")),
+                   key=lambda p: int(os.path.basename(p).split("-")[1]))
     entries = table.register_staged_files(parts)
     _tmark("write.register_stats", t0)
     shutil.rmtree(staging, ignore_errors=True)
