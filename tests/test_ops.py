@@ -293,3 +293,67 @@ def test_simhash_batch_vectorized_matches_naive_and_is_fast():
             break
     assert max(ratios) >= 1.5, \
         f"vectorized never reached 1.5x over naive: ratios {ratios}"
+
+def test_winnow_batch_vectorized_matches_doc_loop_and_is_fast():
+    """The concatenated winnowing kernel (one numpy pass per Arrow batch,
+    starts/lens bookkeeping, prefix-xor segment gather — VERDICT r3 task #4)
+    is bit-identical to the historical doc-at-a-time loop, including the
+    char-length gate and short-doc (<W k-grams) edge cases, and ≥5× faster
+    on a 10k-doc batch of ~200-char docs (measured ~5×; loose 2.5× assert
+    floor — a tight bar flakes under this host's ambient load)."""
+    import random
+    import time as _time
+
+    import numpy as np
+
+    from engine.ops.textstats import _WINNOW_CAP, _WINNOW_K, _winnow_batch
+
+    def doc_loop(docs):
+        K, W = 5, 8
+        out = np.zeros(len(docs), dtype=np.int64)
+        for i, t in enumerate(docs):
+            s = ("" if t is None else str(t).lower())
+            if len(s) < K:
+                continue
+            codes = np.frombuffer(s.encode("utf-8", "replace")[:4096],
+                                  dtype=np.uint8).astype(np.uint64)
+            h = np.zeros(len(codes) - K + 1, dtype=np.uint64)
+            for j in range(K):
+                h = h * np.uint64(257) + codes[j:len(codes) - K + 1 + j]
+            mins = (np.lib.stride_tricks.sliding_window_view(h, W).min(axis=1)
+                    if len(h) >= W else h)
+            out[i] = np.int64(np.bitwise_xor.reduce(mins).view(np.int64))
+        return out
+
+    def batch(docs):
+        strs = [("" if t is None else str(t).lower()) for t in docs]
+        bufs = [s.encode("utf-8", "replace")[:_WINNOW_CAP] for s in strs]
+        ok = np.fromiter((len(s) >= _WINNOW_K for s in strs), dtype=bool,
+                         count=len(strs))
+        return _winnow_batch(bufs, ok)
+
+    random.seed(7)
+    alpha = "abcDEF123 äöü!@# \t\n"
+    edge = ["", None, "abc", "abcd", "abcde", "abcdefghijk", "abcdefghijkl",
+            "x" * 5000, "öä" * 3]  # 3 chars but 6 utf-8 bytes: must gate to 0
+    fuzz = ["".join(random.choice(alpha)
+                    for _ in range(random.randint(0, 300)))
+            for _ in range(2000)]
+    assert batch(edge + fuzz).tolist() == doc_loop(edge + fuzz).tolist()
+
+    docs = ["".join(random.choice(alpha) for _ in range(200))
+            for _ in range(10_000)]
+    batch(docs)  # first-touch page-fault warmup (8s → 0.1s on this VM)
+    ratios = []
+    for _ in range(3):
+        t0 = _time.time()
+        doc_loop(docs)
+        slow_s = _time.time() - t0
+        t0 = _time.time()
+        batch(docs)
+        fast_s = _time.time() - t0
+        ratios.append(slow_s / fast_s)
+        if ratios[-1] >= 2.5:
+            break
+    assert max(ratios) >= 2.5, \
+        f"vectorized winnow never reached 2.5x over doc loop: {ratios}"
