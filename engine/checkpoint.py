@@ -79,6 +79,16 @@ class CheckpointLog:
         self.record(TaskRecord(self.pass_id, self.op, "__pass__",
                                [], [], committed=True, extra=extra or {}))
 
+    def abandon(self, extra: dict | None = None) -> None:
+        """Terminate the pass WITHOUT a snapshot swap (commit conflict): the
+        ``__pass__`` record is written with ``aborted`` so the orphan sweep
+        stops protecting the pass's staged outputs (they are dead — the
+        winning concurrent commit owns the table now) and a replay with the
+        same pass_id becomes a no-op instead of re-committing stale files."""
+        self.record(TaskRecord(self.pass_id, self.op, "__pass__",
+                               [], [], committed=True,
+                               extra={"aborted": True, **(extra or {})}))
+
     def pass_committed(self) -> bool:
         rec = self._done.get("__pass__")
         return bool(rec and rec.get("committed"))

@@ -42,6 +42,17 @@ import pyarrow.parquet as pq
 _MAX_BOUND_LEN = 64
 
 
+class CommitConflictError(RuntimeError):
+    """A commit tried to remove data files that are no longer referenced by
+    the current snapshot — a concurrent pass (compaction, clustering, another
+    merge) already replaced them. Committing anyway would resurrect the
+    replaced files' rows through the loser's rewritten copies (duplicates on
+    scan). The loser must abandon its staged output (checkpoint
+    ``abandon()`` makes it sweepable) and either abort or replan from the
+    fresh snapshot — the same optimistic-concurrency rule as Iceberg's
+    validation of overwritten files on commit."""
+
+
 def _truncate_lower(v: str) -> str:
     return v[:_MAX_BOUND_LEN]
 
@@ -400,17 +411,37 @@ class Table:
         parent = self.current_snapshot()
         manifests: list[str] = []
         if parent is not None:
+            loaded: list[tuple[str, list[dict]]] = []
             for mf in parent.manifests:
                 with open(os.path.join(self.meta_dir, mf)) as f:
-                    m = json.load(f)
-                paths = {e["path"] for e in m["entries"]}
+                    loaded.append((mf, json.load(f)["entries"]))
+            if removed_paths:
+                # optimistic-concurrency validation (fresh read, under the
+                # lock): every file this commit replaces must still be live.
+                # A missing path means a concurrent pass already rewrote it —
+                # committing would silently resurrect its rows through our
+                # staged copies.
+                live = {e["path"] for _, ents in loaded for e in ents}
+                gone = removed_paths - live
+                if gone:
+                    raise CommitConflictError(
+                        f"{operation}: {len(gone)} input file(s) were "
+                        f"replaced by a concurrent commit (e.g. "
+                        f"{sorted(gone)[:3]}); abandon staged output and "
+                        "replan from the fresh snapshot")
+            for mf, ents in loaded:
+                paths = {e["path"] for e in ents}
                 if carry_manifests and not (paths & removed_paths):
                     manifests.append(mf)     # untouched: carry over
                 else:
-                    kept = [DataFile.from_json(e) for e in m["entries"]
+                    kept = [DataFile.from_json(e) for e in ents
                             if e["path"] not in removed_paths]
                     if kept:
                         manifests.append(self.write_manifest(kept))
+        elif removed_paths:
+            raise CommitConflictError(
+                f"{operation}: commit removes {len(removed_paths)} file(s) "
+                "but the table has no current snapshot")
         if added:
             manifests.append(self.write_manifest(added))
 

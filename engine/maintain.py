@@ -55,7 +55,8 @@ def plan_compaction(entries: list[DataFile],
 def compact(spark: SparkSession, table: Table,
             target_bytes: int = DEFAULT_TARGET_BYTES,
             pass_id: str | None = None,
-            max_concurrency: int = 8) -> Snapshot | None:
+            max_concurrency: int = 8,
+            retries: int = 1) -> Snapshot | None:
     """Rewrite every planned group into one file in ONE Spark job.
 
     The file→group routing is a broadcast join on the file's basename
@@ -146,9 +147,22 @@ def compact(spark: SparkSession, table: Table,
 
     removed = {p for _, ins, _ in results for p in ins}
     added = [e for _, _, outs in results for e in outs]
-    snap = table.commit("compact", added=added, removed_paths=removed,
-                        summary={"pass_id": pass_id,
-                                 "groups": len(groups)})
+    from .format import CommitConflictError
+    try:
+        snap = table.commit("compact", added=added, removed_paths=removed,
+                            summary={"pass_id": pass_id,
+                                     "groups": len(groups)})
+    except CommitConflictError:
+        # lost the race: some planned input files were replaced while this
+        # pass ran. Compaction's plan is derived purely from the manifest,
+        # so the clean recovery is abandon + replan from the fresh snapshot
+        # (bounded retries; staged output of the lost attempt becomes a
+        # sweepable orphan via ckpt.abandon).
+        ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
+        if retries <= 0:
+            raise
+        return compact(spark, table, target_bytes,
+                       pass_id=f"{pass_id}-retry", retries=retries - 1)
     ckpt.finalize({"snapshot_id": snap.snapshot_id})
     return snap
 
@@ -214,9 +228,19 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
             rows=rows, bytes=sum(e.file_size_bytes for e in staged),
             skew_factor=round(max((e.record_count for e in staged), default=0)
                               / max(1.0, mean_rows), 3)))
-    snap = table.commit(f"cluster-{strategy}", added=staged,
-                        removed_paths=set(in_paths),
-                        summary={"pass_id": pass_id, "files": len(staged)})
+    from .format import CommitConflictError
+    try:
+        snap = table.commit(f"cluster-{strategy}", added=staged,
+                            removed_paths=set(in_paths),
+                            summary={"pass_id": pass_id,
+                                     "files": len(staged)})
+    except CommitConflictError:
+        # full-table rewrite lost a race (e.g. to a merge): the staged
+        # layout is stale — abandon and let the caller's next cadence
+        # re-cluster the fresh snapshot (no auto-retry: another full
+        # rewrite should be a deliberate scheduling decision)
+        ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
+        raise
     ckpt.finalize({"snapshot_id": snap.snapshot_id})
     return snap
 

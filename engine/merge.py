@@ -420,9 +420,21 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             rows=rows, bytes=sum(e.file_size_bytes for e in staged),
             skew_factor=round(skew, 3), committed=False))
 
-    new_snap = table.commit("merge", added=staged,
-                            removed_paths=set(affected_paths),
-                            summary={"pass_id": pass_id})
+    from .format import CommitConflictError
+    try:
+        new_snap = table.commit("merge", added=staged,
+                                removed_paths=set(affected_paths),
+                                summary={"pass_id": pass_id})
+    except CommitConflictError:
+        # a concurrent pass replaced our input files mid-rewrite: committing
+        # would resurrect their rows through our staged copies. Abandon the
+        # checkpoint (staged files become sweepable orphans) and surface the
+        # conflict — the caller must re-derive its update source from the
+        # fresh snapshot (a stale source could mis-update rewritten rows),
+        # so no blind auto-retry here.
+        ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
+        source.unpersist()
+        raise
     _tmark("merge.commit", t0)
     ckpt.finalize({"snapshot_id": new_snap.snapshot_id})
     source.unpersist()
