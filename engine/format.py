@@ -90,19 +90,28 @@ class DataFile:
     file_size_bytes: int
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
     # stats[col] = {"min": ..., "max": ..., "null_count": int}
+    content: str = "data"          # 'data' | 'deletes' (Iceberg-v2 style)
+    sequence_number: int = 0       # commit order; a delete file applies to
+    #                                data files with STRICTLY SMALLER seq
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "path": self.path,
             "record_count": self.record_count,
             "file_size_bytes": self.file_size_bytes,
             "stats": self.stats,
         }
+        if self.content != "data":
+            out["content"] = self.content
+        if self.sequence_number:
+            out["sequence_number"] = self.sequence_number
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
         return DataFile(d["path"], d["record_count"], d["file_size_bytes"],
-                        d.get("stats", {}))
+                        d.get("stats", {}), d.get("content", "data"),
+                        d.get("sequence_number", 0))
 
 
 @dataclass
@@ -294,8 +303,13 @@ class Table:
                 return s
         raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
 
-    def manifest_entries(self, snapshot: Snapshot | None = None) -> list[DataFile]:
-        """All data files referenced by a snapshot (its manifest list)."""
+    def manifest_entries(self, snapshot: Snapshot | None = None,
+                         content: str = "data") -> list[DataFile]:
+        """Files referenced by a snapshot (its manifest list). ``content``
+        filters by entry kind — the default 'data' keeps every pre-existing
+        consumer (scan pruning, compaction planning, stats) blind to
+        merge-on-read delete files; pass 'deletes' or 'all' explicitly where
+        deletes matter (scan application, manifest rewrite, orphan sweep)."""
         if snapshot is None:
             snapshot = self.current_snapshot()
         if snapshot is None:
@@ -305,7 +319,9 @@ class Table:
             with open(os.path.join(self.meta_dir, mf)) as f:
                 m = json.load(f)
             out.extend(DataFile.from_json(e) for e in m["entries"])
-        return out
+        if content == "all":
+            return out
+        return [e for e in out if e.content == content]
 
     def data_file_abspaths(self, snapshot: Snapshot | None = None) -> list[str]:
         return [os.path.join(self.root, e.path)
@@ -326,7 +342,8 @@ class Table:
         os.replace(tmp, os.path.join(self.meta_dir, name))
         return name
 
-    def register_staged_files(self, staged_paths: list[str]) -> list[DataFile]:
+    def register_staged_files(self, staged_paths: list[str],
+                              content: str = "data") -> list[DataFile]:
         """Move already-written parquet files into data/ and stat them.
 
         Footer stats are read concurrently (pyarrow parses metadata in C++
@@ -335,8 +352,10 @@ class Table:
         time that no executor count can hide."""
         from concurrent.futures import ThreadPoolExecutor
 
+        prefix = "part" if content == "data" else "delete"
+
         def one(p: str) -> DataFile:
-            name = f"part-{uuid.uuid4().hex}.parquet"
+            name = f"{prefix}-{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self.data_dir, name)
             # same filesystem in this sandbox; rename is atomic & cheap
             try:
@@ -344,7 +363,8 @@ class Table:
             except OSError:
                 shutil.move(p, dst)
             rows, size, stats = collect_parquet_stats(dst)
-            return DataFile(os.path.join("data", name), rows, size, stats)
+            return DataFile(os.path.join("data", name), rows, size, stats,
+                            content=content)
 
         if len(staged_paths) <= 1:
             return [one(p) for p in staged_paths]
@@ -442,10 +462,17 @@ class Table:
             raise CommitConflictError(
                 f"{operation}: commit removes {len(removed_paths)} file(s) "
                 "but the table has no current snapshot")
-        if added:
-            manifests.append(self.write_manifest(added))
-
         sid = (parent.snapshot_id + 1) if parent else 1
+        if added:
+            # data-sequence assignment (Iceberg v2): every file added by
+            # this commit carries the new snapshot id as its sequence
+            # number, so a delete file committed here applies exactly to
+            # data files from EARLIER commits (strictly smaller seq) —
+            # never to the replacement rows staged alongside it in the
+            # same commit
+            for e in added:
+                e.sequence_number = sid
+            manifests.append(self.write_manifest(added))
         snap = Snapshot(
             snapshot_id=sid,
             parent_id=parent.snapshot_id if parent else None,

@@ -122,8 +122,19 @@ def compact(spark: SparkSession, table: Table,
         paths = [os.path.join(table.root, e.path) for _, g in todo for e in g]
         df = (spark.read.parquet(*paths)
               .withColumn("__cmp_base",
-                          F.element_at(F.split(F.input_file_name(), "/"), -1))
-              .join(mapping, "__cmp_base")
+                          F.element_at(F.split(F.input_file_name(), "/"), -1)))
+        dels = table.manifest_entries(content="deletes")
+        if dels:
+            # merge-on-read: fold the equality deletes into the rewritten
+            # groups (the compacted file takes a new sequence number, so an
+            # unapplied delete would stop shadowing its rows — resurrection).
+            # The delete FILES stay committed: they may still apply to data
+            # files outside this plan; rewrite_deletes() retires them.
+            from .scan import apply_equality_deletes
+            todo_entries = [e for _, g in todo for e in g]
+            df = apply_equality_deletes(spark, table, df, todo_entries,
+                                        dels, base_col="__cmp_base")
+        df = (df.join(mapping, "__cmp_base")
               .repartition(n, F.col("__cmp_rep"))
               .drop("__cmp_base", "__cmp_rep")
               .sortWithinPartitions("conv_id", "turn_idx"))
@@ -169,7 +180,86 @@ def compact(spark: SparkSession, table: Table,
 
 def _restat(table: Table, rel_path: str) -> DataFile:
     rows, size, stats = collect_parquet_stats(os.path.join(table.root, rel_path))
-    return DataFile(rel_path, rows, size, stats)
+    content = ("deletes" if os.path.basename(rel_path).startswith("delete-")
+               else "data")
+    return DataFile(rel_path, rows, size, stats, content=content)
+
+
+def _conv_overlap(a: DataFile, b: DataFile) -> bool:
+    """Conservative conv_id range overlap from manifest stats (missing
+    stats → True)."""
+    sa, sb = a.stats.get("conv_id") or {}, b.stats.get("conv_id") or {}
+    if None in (sa.get("min"), sa.get("max"), sb.get("min"), sb.get("max")):
+        return True
+    return not (str(sa["max"]) < str(sb["min"])
+                or str(sa["min"]) > str(sb["max"]))
+
+
+def rewrite_deletes(spark: SparkSession, table: Table,
+                    target_bytes: int = DEFAULT_TARGET_BYTES,
+                    pass_id: str | None = None) -> Snapshot | None:
+    """Major compaction for the merge-on-read backlog: rewrite every data
+    file at least one equality-delete file can shadow (older sequence number
+    AND overlapping conv_id range), applying the deletes, then retire ALL
+    delete files in the same commit — safe because any file a delete could
+    still apply to was just replaced (new sequence number).
+
+    Cadence economics at 100 TB: each sparse MoR merge commits O(worklist)
+    bytes; this pass pays the rewrite ONCE for many accumulated merges
+    (instead of CoW paying it per merge), and scans in between pay one
+    small anti-join. Checkpointed and conflict-validated like every other
+    rewrite."""
+    from .merge import _adopt_crashed_commit
+    from .write import range_bounds_from_entries
+    pass_id = pass_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointLog(table.root, pass_id, "rewrite-deletes")
+    if ckpt.pass_committed():
+        return table.current_snapshot()
+    adopted = _adopt_crashed_commit(table, ckpt, pass_id)
+    if adopted is not None:
+        return adopted
+    dels = table.manifest_entries(content="deletes")
+    if not dels:
+        return None
+    data = table.manifest_entries()
+    affected = [e for e in data
+                if any(e.sequence_number < d.sequence_number
+                       and _conv_overlap(e, d) for d in dels)]
+    rec = ckpt.get("rewrite")
+    if rec is not None:
+        staged = [_restat(table, p) for p in rec["output_files"]]
+    elif not affected:
+        staged = []
+    else:
+        from .scan import apply_equality_deletes
+        df = spark.read.parquet(
+            *[os.path.join(table.root, e.path) for e in affected])
+        df = apply_equality_deletes(spark, table, df, affected, dels)
+        in_bytes = sum(e.file_size_bytes for e in affected)
+        num_files = max(1, round(in_bytes / target_bytes))
+        bounds = range_bounds_from_entries(affected, num_files, "conv_id")
+        staged = stage_dataframe(table, df, num_files=num_files,
+                                 range_cols=["conv_id", "turn_idx"],
+                                 sort_cols=["conv_id", "turn_idx"],
+                                 bounds=bounds)
+        ckpt.record(TaskRecord(
+            pass_id, "rewrite-deletes", "rewrite",
+            input_files=[e.path for e in affected] + [d.path for d in dels],
+            output_files=[e.path for e in staged],
+            rows=sum(e.record_count for e in staged),
+            bytes=sum(e.file_size_bytes for e in staged)))
+    from .format import CommitConflictError
+    try:
+        snap = table.commit(
+            "rewrite-deletes", added=staged,
+            removed_paths={e.path for e in affected}
+            | {d.path for d in dels},
+            summary={"pass_id": pass_id, "delete_files_folded": len(dels)})
+    except CommitConflictError:
+        ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
+        raise
+    ckpt.finalize({"snapshot_id": snap.snapshot_id})
+    return snap
 
 
 # ----------------------------------------------------------------- clustering
@@ -191,6 +281,7 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
     if adopted is not None:
         return adopted
     entries = table.manifest_entries()
+    delete_entries = table.manifest_entries(content="deletes")
     in_paths = [e.path for e in entries]
     total_bytes = sum(e.file_size_bytes for e in entries)
     # never let the rewrite collapse to a 1-task sort on small tables — but
@@ -208,6 +299,13 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
         from .layout import curve_bounds
         df = spark.read.parquet(
             *[os.path.join(table.root, p) for p in in_paths])
+        if delete_entries:
+            # full rewrite folds the whole merge-on-read backlog: apply the
+            # equality deletes here and retire the delete files in the
+            # commit below (every data file they could shadow is replaced)
+            from .scan import apply_equality_deletes
+            df = apply_equality_deletes(spark, table, df, entries,
+                                        delete_entries)
         ts_b = ts_bounds_micros(entries)
         # curve-key quantiles over a two-column scan replace the range
         # sampler (which would re-evaluate the full rows a second time);
@@ -231,7 +329,9 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
     from .format import CommitConflictError
     try:
         snap = table.commit(f"cluster-{strategy}", added=staged,
-                            removed_paths=set(in_paths),
+                            removed_paths=(set(in_paths)
+                                           | {e.path
+                                              for e in delete_entries}),
                             summary={"pass_id": pass_id,
                                      "files": len(staged)})
     except CommitConflictError:
@@ -258,7 +358,7 @@ def rewrite_manifests(table: Table, entries_per_manifest: int = 64) -> Snapshot:
     dropped from the snapshot log and its files swept as orphans."""
     lock = table._acquire_commit_lock()
     try:
-        entries = table.manifest_entries()
+        entries = table.manifest_entries(content="all")
         entries.sort(key=lambda e: (str(e.stats.get("conv_id", {})
                                         .get("min", "")), e.path))
         meta = table.load_metadata()
@@ -409,7 +509,7 @@ def _uncommitted_checkpoint_outputs(table: Table) -> set[str]:
 def _sweep_local(table: Table, grace_seconds: float) -> list[str]:
     referenced: set[str] = set()
     for snap in table.snapshots():
-        for e in table.manifest_entries(snap):
+        for e in table.manifest_entries(snap, content="all"):
             referenced.add(e.path)
     referenced |= _uncommitted_checkpoint_outputs(table)
     now = time.time()
@@ -528,6 +628,13 @@ def run_maintenance(spark: SparkSession, table: Table,
     out["merge_s"] = round(time.time() - t0, 3)
     t0 = time.time()
     if separate_compaction:
+        # fold any merge-on-read delete backlog first (no-op without
+        # deletes), then bin-pack small files; the fused path needs neither
+        # (its full CoW rewrite already folded and retired the deletes)
+        rewrite_deletes(spark, table, target_bytes,
+                        pass_id=f"{pass_id}-rwdel")
+        out["rewrite_deletes_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
         compact(spark, table, target_bytes, pass_id=f"{pass_id}-compact")
     out["compact_s"] = round(time.time() - t0, 3)
     t0 = time.time()

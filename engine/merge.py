@@ -55,6 +55,14 @@ _MAX_IN_SET = 100_000  # above this, fall back to min/max range pruning
 # gate also bounds the estimated string payload (BROADCAST_MAX_BYTES).
 BROADCAST_MAX_ROWS = 2_000_000
 BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+# auto merge-mode gate: below this fraction of the AFFECTED (post-pruning)
+# files' rows, a merge goes merge-on-read (commit O(worklist) bytes: insert
+# + equality-delete files) instead of copy-on-write. 0.005 = a ≥200× CoW
+# write amplification before MoR kicks in: the "late sparse updates" steady
+# state at 100 TB goes MoR, while the ~1% maintenance worklist spanning
+# every file (amplification ~100×, paid once per cadence) stays CoW so
+# reads remain anti-join-free.
+_MOR_MAX_FRACTION = 0.005
 
 
 def _string_bytes(source: DataFrame) -> int:
@@ -273,6 +281,48 @@ def build_rewrite(tgt: DataFrame, source: DataFrame,
     return joined.select(*out_cols)
 
 
+def _stage_mor(spark: SparkSession, table: Table, snap, source: DataFrame,
+               update_map: dict[str, str], broadcast_source: bool,
+               preds: list[Predicate] | None, source_bytes: int | None,
+               target_bytes: int, n_src: int) -> list[DataFile]:
+    """Stage a merge-on-read commit: the post-update MATCHED rows as small
+    data files plus one equality-delete file on the MERGE keys shadowing
+    their old versions. O(worklist) bytes staged, no data file rewritten.
+
+    The matched rows come from the LIVE view (``scan`` — predicate-pruned
+    files with prior deletes applied), so stacked sparse merges compose:
+    each generation's delete shadows every earlier version of the key.
+    The delete keys are read back from the just-staged insert files (tiny)
+    rather than re-running the merge join."""
+    from .scan import scan as snapshot_scan
+    live = snapshot_scan(spark, table, snapshot_id=snap.snapshot_id,
+                         predicates=preds)
+    src = F.broadcast(source) if broadcast_source else source
+    joined = live.join(src, on=list(MERGE_KEYS), how="inner")
+    out_cols = []
+    for c in live.columns:
+        if c in update_map:
+            out_cols.append(F.coalesce(F.col(update_map[c]),
+                                       F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    rows = joined.select(*out_cols)
+    nf = max(1, round((source_bytes or 0) / target_bytes)) \
+        if source_bytes else max(1, n_src // 2_000_000)
+    ins = stage_dataframe(table, rows, num_files=nf,
+                          sort_cols=list(MERGE_KEYS))
+    if not any(e.record_count for e in ins):
+        # nothing matched: commit the (empty) insert only — an empty delete
+        # file would be pure metadata noise
+        return ins
+    del_keys = spark.read.parquet(
+        *[os.path.join(table.root, e.path) for e in ins]) \
+        .select(*MERGE_KEYS)
+    dels = stage_dataframe(table, del_keys, num_files=1,
+                           sort_cols=list(MERGE_KEYS), content="deletes")
+    return ins + dels
+
+
 def _adopt_crashed_commit(table: Table, ckpt: CheckpointLog,
                           pass_id: str) -> Snapshot | None:
     """If a previous run committed this pass's snapshot but died before
@@ -299,7 +349,8 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                source_bytes: int | None = None,
                curve: str | None = None,
                curve_bounds_list: list | None = None,
-               ts_bounds: tuple[int, int] | None = None) -> Snapshot:
+               ts_bounds: tuple[int, int] | None = None,
+               mode: str = "auto") -> Snapshot:
     """MERGE INTO table USING source ON (conv_id, turn_idx)
     WHEN MATCHED THEN UPDATE SET col = coalesce(source.upd_col, col).
 
@@ -309,16 +360,44 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
 
     ``broadcast_source=None`` (default) size-gates the broadcast on the
     materialized source row count (≤ BROADCAST_MAX_ROWS); pass True/False to
-    force. Copy-on-write: prune target files by source key domain, rewrite
-    only those, carry the rest. The rewrite is range-partitioned WITHOUT a
-    sampling pass: partition bounds come from the affected files' manifest
-    stats (driver-side, O(files)), so the expensive merge join runs exactly
-    once. Checkpointed: if the process dies after staging but before the
-    snapshot swap, a rerun with the same ``pass_id`` reuses the staged files
-    and just commits (byte-identical table state); if it dies after the swap
-    but before the checkpoint finalize, the rerun adopts the committed
-    snapshot instead of double-committing.
+    force.
+
+    ``mode`` picks the physical strategy:
+
+    * ``'cow'`` — copy-on-write: prune target files by source key domain,
+      rewrite only those, carry the rest. The rewrite is range-partitioned
+      WITHOUT a sampling pass: partition bounds come from the affected
+      files' manifest stats (driver-side, O(files)), so the expensive merge
+      join runs exactly once.
+    * ``'mor'`` — merge-on-read: commit O(worklist) bytes only — a small
+      insert file with the post-update rows plus an equality-delete file on
+      (conv_id, turn_idx) shadowing their old versions (Iceberg-v2 shape).
+      No data file is rewritten; ``scan()`` applies the deletes via one
+      anti-join and compaction/clustering folds them back into data files.
+      This kills the CoW write amplification for SPARSE merges: one late-
+      edited cell no longer rewrites a whole 128 MB file.
+    * ``'auto'`` (default) — 'mor' when the source is a tiny fraction
+      (≤ _MOR_MAX_FRACTION) of the affected files' rows and no fused
+      clustering was requested; 'cow' otherwise (a ~1 % maintenance
+      worklist spanning every file amortizes its rewrite, and the fused
+      merge+cluster pass IS a full rewrite by design).
+
+    Checkpointed: if the process dies after staging but before the snapshot
+    swap, a rerun with the same ``pass_id`` reuses the staged files and just
+    commits (byte-identical table state); if it dies after the swap but
+    before the checkpoint finalize, the rerun adopts the committed snapshot
+    instead of double-committing.
+
+    Concurrency note: CoW merges validate their inputs on commit
+    (CommitConflictError); a MoR merge removes no files, so two concurrent
+    sparse merges both commit and the LATER sequence number wins on any
+    overlapping key — snapshot-isolation semantics, like Iceberg equality
+    deletes.
     """
+    assert mode in ("auto", "cow", "mor")
+    if mode == "mor" and curve is not None:
+        raise ValueError("fused clustering (curve=) is a full rewrite — "
+                         "incompatible with merge-on-read mode")
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "merge")
     if ckpt.pass_committed():
@@ -361,21 +440,62 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     entries = table.manifest_entries(snap)
     affected = prune_files(entries, preds)
     affected_paths = [e.path for e in affected]
+    delete_entries = table.manifest_entries(snap, content="deletes")
+    affected_dels = prune_files(delete_entries, preds)
+    affected_rows = sum(e.record_count for e in affected)
+    use_mor = (mode == "mor"
+               or (mode == "auto" and curve is None and affected
+                   and 0 < n_src <= _MOR_MAX_FRACTION * affected_rows))
     _tmark("merge.plan_metadata", t_meta)
 
+    removed_paths: set[str] = set() if use_mor else set(affected_paths)
     rec = ckpt.get("rewrite")
     if rec is not None:
         staged = []
         for p in rec["output_files"]:
             rows, size, stats = collect_parquet_stats(
                 os.path.join(table.root, p))
-            staged.append(DataFile(p, rows, size, stats))
-        affected_paths = rec["input_files"]
+            content = ("deletes" if os.path.basename(p).startswith("delete-")
+                       else "data")
+            staged.append(DataFile(p, rows, size, stats, content=content))
+        # a resumed pass replays the recorded strategy, not the re-derived
+        # one (the staged files already embody it); legacy records carry no
+        # 'removed' list — they were all CoW, removing their input files
+        ext = rec.get("extra") or {}
+        use_mor = bool(ext.get("mor"))
+        if use_mor:
+            removed_paths = set(ext.get("removed", []))
+        else:
+            removed_paths = set(ext.get("removed", rec["input_files"]))
     elif not affected:
         staged = []
+    elif use_mor:
+        staged = _stage_mor(spark, table, snap, source, update_map,
+                            broadcast_source, preds, source_bytes,
+                            target_bytes, n_src)
+        t0 = _tmark("merge.mor_stage", t0)
+        ckpt.record(TaskRecord(
+            pass_id, "merge", "rewrite",
+            input_files=affected_paths,
+            output_files=[e.path for e in staged],
+            rows=sum(e.record_count for e in staged),
+            bytes=sum(e.file_size_bytes for e in staged),
+            skew_factor=1.0, committed=False,
+            extra={"mor": True, "removed": []}))
     else:
         tgt = spark.read.parquet(
             *[os.path.join(table.root, p) for p in affected_paths])
+        if affected_dels:
+            # merge-on-read backlog: the raw file read would resurrect
+            # deleted rows — apply the equality deletes before rewriting.
+            # The rewritten files take a NEW sequence number, so the folded
+            # deletes stop applying to them; when this rewrite covers the
+            # whole table the delete files themselves are dropped below.
+            from .scan import apply_equality_deletes
+            tgt = apply_equality_deletes(spark, table, tgt, affected,
+                                         affected_dels)
+        if set(affected_paths) == {e.path for e in entries}:
+            removed_paths |= {e.path for e in delete_entries}
         out = build_rewrite(tgt, source, update_map, broadcast_source)
         # Output file count derives from DATA SIZE (not core count, not scan
         # partitioning — both vary with parallelism and would make the
@@ -418,13 +538,16 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             input_files=affected_paths,
             output_files=[e.path for e in staged],
             rows=rows, bytes=sum(e.file_size_bytes for e in staged),
-            skew_factor=round(skew, 3), committed=False))
+            skew_factor=round(skew, 3), committed=False,
+            extra={"removed": sorted(removed_paths)}))
 
     from .format import CommitConflictError
     try:
         new_snap = table.commit("merge", added=staged,
-                                removed_paths=set(affected_paths),
-                                summary={"pass_id": pass_id})
+                                removed_paths=removed_paths,
+                                summary={"pass_id": pass_id,
+                                         **({"mor": True} if use_mor
+                                            else {})})
     except CommitConflictError:
         # a concurrent pass replaced our input files mid-rewrite: committing
         # would resurrect their rows through our staged copies. Abandon the

@@ -11,12 +11,74 @@ Catalyst/Parquet for free (predicate pushdown into row-group stats).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .format import DataFile, Snapshot, Table
+
+# broadcast the (small) equality-delete set up to this many bytes; past it
+# the anti-join falls back to a shuffle join (AQE picks the side) — at
+# 100 TB an un-compacted month of deletes must not be forced driver-side
+_DELETE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+MERGE_KEYS = ("conv_id", "turn_idx")
+
+
+def apply_equality_deletes(spark: SparkSession, table: Table, df: DataFrame,
+                           data_entries: list[DataFile],
+                           delete_entries: list[DataFile],
+                           base_col: str | None = None) -> DataFrame:
+    """Merge-on-read: drop rows of ``df`` matched by an equality-delete file
+    with a LARGER sequence number than the row's source data file.
+
+    One hash anti-join, no per-file plans: every row is tagged with its data
+    file's sequence number via a broadcast basename→seq map joined on
+    ``input_file_name()`` (the same zero-cost routing trick as compaction),
+    the delete rows carry their own file's seq the same way, and the
+    anti-join condition is (keys equal AND data_seq < delete_seq) — an
+    equi-join on the merge keys with a residual filter, so it hash-joins.
+    Delete files are tiny relative to data (O(late updates)); they broadcast
+    under ``_DELETE_BROADCAST_MAX_BYTES`` (manifest byte stats, no job).
+
+    ``base_col``: name of an existing basename column on ``df`` (e.g.
+    compaction's routing key) — when None, one is derived and dropped."""
+    if not delete_entries or not data_entries:
+        return df
+    drop_base = base_col is None
+    if base_col is None:
+        base_col = "__mor_base"
+        df = df.withColumn(base_col, F.element_at(
+            F.split(F.input_file_name(), "/"), -1))
+    seq_rows = [(os.path.basename(e.path), e.sequence_number)
+                for e in data_entries]
+    seq_map = F.broadcast(spark.createDataFrame(
+        seq_rows, "__mor_b string, __mor_seq long"))
+    df = df.join(seq_map, df[base_col] == F.col("__mor_b"), "left") \
+           .drop("__mor_b")
+    dseq_rows = [(os.path.basename(e.path), e.sequence_number)
+                 for e in delete_entries]
+    dseq_map = F.broadcast(spark.createDataFrame(
+        dseq_rows, "__mor_b string, __mor_dseq long"))
+    dels = (spark.read.parquet(*[os.path.join(table.root, e.path)
+                                 for e in delete_entries])
+            .withColumn("__mor_b", F.element_at(
+                F.split(F.input_file_name(), "/"), -1))
+            .join(dseq_map, "__mor_b")
+            .select(*[F.col(k).alias(f"__mor_{k}") for k in MERGE_KEYS],
+                    "__mor_dseq"))
+    if sum(e.file_size_bytes for e in delete_entries) \
+            <= _DELETE_BROADCAST_MAX_BYTES:
+        dels = F.broadcast(dels)
+    cond = (F.col("__mor_seq") < F.col("__mor_dseq"))
+    for k in MERGE_KEYS:
+        cond = cond & (df[k] == F.col(f"__mor_{k}"))
+    out = df.join(dels, cond, "left_anti").drop("__mor_seq")
+    if drop_base:
+        out = out.drop(base_col)
+    return out
 
 
 @dataclass(frozen=True)
@@ -94,13 +156,20 @@ def scan(spark: SparkSession, table: Table,
         all_entries = table.manifest_entries(snap)
         if not all_entries:
             raise ValueError("scan of empty table; append data first")
-        import os
         df = spark.read.parquet(os.path.join(table.root, all_entries[0].path))
         df = df.limit(0)
     else:
-        import os
         paths = [os.path.join(table.root, e.path) for e in entries]
         df = spark.read.parquet(*paths)
+        # merge-on-read: apply equality-delete files (pruned by the same
+        # predicates — a delete outside the predicate key range cannot
+        # affect a surviving row). Tables without deletes (the steady state
+        # between sparse merges and compactions) skip this entirely: zero
+        # plan overhead.
+        dels = table.manifest_entries(snap, content="deletes")
+        if dels:
+            dels = prune_files(dels, predicates)
+            df = apply_equality_deletes(spark, table, df, entries, dels)
     if columns:
         df = df.select(*columns)
     return df
@@ -133,8 +202,17 @@ def scan_stats(table: Table, snapshot_id: int | None = None) -> dict:
     snap = (table.current_snapshot() if snapshot_id is None
             else table.snapshot(snapshot_id))
     entries = table.manifest_entries(snap)
-    return {
+    dels = table.manifest_entries(snap, content="deletes")
+    out = {
         "files": len(entries),
         "rows": sum(e.record_count for e in entries),
         "bytes": sum(e.file_size_bytes for e in entries),
     }
+    if dels:
+        # merge-on-read backlog: 'rows' above counts physical data rows
+        # (pre-delete); delete_rows is the equality-delete key count — an
+        # upper bound on dead rows (stacked merges on one key write one
+        # delete per generation). Exact live counts need a scan.
+        out["delete_files"] = len(dels)
+        out["delete_rows"] = sum(e.record_count for e in dels)
+    return out

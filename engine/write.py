@@ -118,7 +118,8 @@ def stage_dataframe(table: Table, df: DataFrame,
                     num_files: int | None = None,
                     range_cols: list[str] | None = None,
                     sort_cols: list[str] | None = None,
-                    bounds: list | None = None) -> list[DataFile]:
+                    bounds: list | None = None,
+                    content: str = "data") -> list[DataFile]:
     """Write ``df`` to a staging dir, move the parts into data/, return
     manifest entries (NOT yet committed — callers compose commits, which is
     what makes multi-step maintenance passes resumable).
@@ -158,7 +159,7 @@ def stage_dataframe(table: Table, df: DataFrame,
     # (compact()'s part↔group checkpoint alignment)
     parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")),
                    key=lambda p: int(os.path.basename(p).split("-")[1]))
-    entries = table.register_staged_files(parts)
+    entries = table.register_staged_files(parts, content=content)
     _tmark("write.register_stats", t0)
     shutil.rmtree(staging, ignore_errors=True)
     return entries

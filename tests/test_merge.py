@@ -195,8 +195,10 @@ def test_resume_after_commit_before_finalize_does_not_duplicate(
 
 def test_impute_targeted_worklist_prunes_rewrite(spark, tmp_table_root):
     """A sparse worklist (missing cells in ONE conversation) must not
-    trigger an O(table) rewrite: conv-domain predicates prune the copy-on-
-    write to the affected files; unaffected files survive by reference —
+    trigger an O(table) rewrite. Conv-domain predicates prune the pass to
+    the affected files — and since the worklist is a tiny fraction of even
+    those, the auto merge mode goes MERGE-ON-READ: zero data files
+    rewritten, O(worklist) bytes committed (insert + equality delete) —
     even when the caller asked for fused clustering (which only applies to
     full-table passes and falls back here)."""
     from pyspark.sql import functions as F
@@ -213,12 +215,17 @@ def test_impute_targeted_worklist_prunes_rewrite(spark, tmp_table_root):
     affected = {e.path for e in
                 prune_files(entries, [Predicate("conv_id", "in", [victim])])}
     before = {e.path for e in entries}
+    table_bytes = sum(e.file_size_bytes for e in entries)
     assert len(affected) < len(before)  # pruning has something to save
-    impute_merge(spark, t, pass_id="sparse1", curve="zorder")
+    snap = impute_merge(spark, t, pass_id="sparse1", curve="zorder")
     after = {e.path for e in t.manifest_entries()}
-    assert before - after == affected, \
-        f"rewrote {len(before - after)} files, expected the {len(affected)} " \
-        "affected ones only"
+    removed = before - after
+    assert snap.summary.get("mor") is True
+    assert removed == set(), \
+        f"sparse merge rewrote {len(removed)} data files; expected MoR"
+    new = [e for e in t.manifest_entries(content="all")
+           if e.sequence_number == snap.snapshot_id]
+    assert sum(e.file_size_bytes for e in new) < table_bytes * 0.2
     assert scan(spark, t).filter("role is null").count() == 0
 
 

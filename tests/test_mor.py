@@ -1,0 +1,221 @@
+"""Merge-on-read equality deletes (VERDICT r3 task #1, Iceberg-v2 shape):
+a sparse MERGE commits O(worklist) bytes — a small insert file plus an
+equality-delete file — instead of rewriting whole data files; scans apply
+the deletes via one anti-join, byte-identical to the copy-on-write result;
+compaction / clustering / rewrite_deletes fold the backlog back into data
+files. Reference anchor for the cell-grain update semantics:
+``codes/estimation/row_acquisitor.py:1087-1089`` (ground-truth lookup join).
+"""
+
+from pyspark.sql import functions as F
+
+from engine.format import Table
+from engine.maintain import (cluster, compact, rewrite_deletes,
+                             run_maintenance, sweep_orphans)
+from engine.merge import merge_into
+from engine.scan import incremental_scan, scan, scan_stats
+from engine.synth import generate_transcripts
+from engine.write import append
+
+from .conftest import sorted_rows
+
+
+def _setup(spark, root, convs=60, files=6):
+    df = generate_transcripts(spark, num_convs=convs)
+    t = Table.create(root)
+    append(t, df, num_files=files, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    return t, df
+
+
+def _sparse_source(spark, t, n=5, tag="late-edit"):
+    return (scan(spark, t).select("conv_id", "turn_idx")
+            .orderBy("conv_id", "turn_idx").limit(n)
+            .withColumn("upd_text", F.lit(tag)))
+
+
+def test_mor_commits_worklist_bytes_and_matches_cow(spark, tmp_table_root,
+                                                    tmp_path):
+    """The headline invariant: a <0.1%-row merge in MoR mode commits bytes
+    proportional to the WORKLIST (not the affected files), removes no data
+    file, and its scan output is row-identical to the CoW path on a clone."""
+    t, df = _setup(spark, tmp_table_root)
+    t2, _ = _setup(spark, str(tmp_path / "cow_tbl"))
+    # clone guarantees identical content (same deterministic synth seed)
+    assert sorted_rows(scan(spark, t2)) == sorted_rows(scan(spark, t))
+    table_bytes = scan_stats(t)["bytes"]
+
+    src = _sparse_source(spark, t)
+    snap = merge_into(spark, t, src, {"text": "upd_text"},
+                      pass_id="mor1", mode="mor")
+    assert snap.summary.get("mor") is True
+    assert snap.summary["removed_files"] == 0
+    # staged bytes bound: insert + delete files carry ~5 rows, not 6 files
+    added = t.manifest_entries(snap, content="all")
+    new = [e for e in added if e.sequence_number == snap.snapshot_id]
+    staged_bytes = sum(e.file_size_bytes for e in new)
+    assert staged_bytes < table_bytes * 0.25, (staged_bytes, table_bytes)
+    assert sum(e.record_count for e in new if e.content == "data") == 5
+    assert sum(e.record_count for e in new if e.content == "deletes") == 5
+
+    src2 = _sparse_source(spark, t2)
+    merge_into(spark, t2, src2, {"text": "upd_text"},
+               pass_id="cow1", mode="cow")
+    got, want = sorted_rows(scan(spark, t)), sorted_rows(scan(spark, t2))
+    assert got == want
+    assert scan(spark, t).filter("text = 'late-edit'").count() == 5
+
+
+def test_mor_snapshot_isolation_and_incremental_scan(spark, tmp_table_root):
+    t, df = _setup(spark, tmp_table_root)
+    pre = t.current_snapshot().snapshot_id
+    before = sorted_rows(scan(spark, t))
+    merge_into(spark, t, _sparse_source(spark, t), {"text": "upd_text"},
+               pass_id="mor1", mode="mor")
+    # pinned old snapshot is untouched by the delete files
+    assert sorted_rows(scan(spark, t, snapshot_id=pre)) == before
+    # incremental scan sees exactly the new INSERT rows (data content only,
+    # never delete-file rows)
+    inc = incremental_scan(spark, t, from_snapshot_id=pre)
+    assert inc.count() == 5
+    assert inc.filter("text = 'late-edit'").count() == 5
+    st = scan_stats(t)
+    assert st["delete_files"] == 1 and st["delete_rows"] == 5
+
+
+def test_mor_stacked_generations_last_wins(spark, tmp_table_root):
+    """Two sparse merges touching the SAME keys: each generation's delete
+    shadows every earlier version; the latest update wins, exactly once."""
+    t, df = _setup(spark, tmp_table_root)
+    n_total = scan(spark, t).count()
+    merge_into(spark, t, _sparse_source(spark, t, tag="gen1"),
+               {"text": "upd_text"}, pass_id="g1", mode="mor")
+    merge_into(spark, t, _sparse_source(spark, t, tag="gen2"),
+               {"text": "upd_text"}, pass_id="g2", mode="mor")
+    out = scan(spark, t)
+    assert out.count() == n_total  # no duplicates, no losses
+    assert out.filter("text = 'gen2'").count() == 5
+    assert out.filter("text = 'gen1'").count() == 0
+    # keys stay unique
+    assert out.groupBy("conv_id", "turn_idx").count() \
+              .filter("count > 1").count() == 0
+
+
+def test_mor_auto_mode_picks_strategy_by_sparsity(spark, tmp_table_root):
+    """auto → MoR for a tiny worklist, CoW for a bulk worklist."""
+    t, df = _setup(spark, tmp_table_root, convs=100, files=8)
+    sparse = _sparse_source(spark, t, n=1)
+    s1 = merge_into(spark, t, sparse, {"text": "upd_text"}, pass_id="a1")
+    assert s1.summary.get("mor") is True
+    bulk = (scan(spark, t).select("conv_id", "turn_idx")
+            .withColumn("upd_text", F.lit("bulk")))
+    s2 = merge_into(spark, t, bulk, {"text": "upd_text"}, pass_id="a2")
+    assert s2.summary.get("mor") is None
+    assert s2.summary["removed_files"] > 0
+    out = scan(spark, t)
+    assert out.filter("text = 'bulk'").count() == out.count()
+
+
+def test_compact_folds_deletes_without_resurrection(spark, tmp_table_root):
+    """Compaction rewrites small files with deletes APPLIED (a compacted
+    file takes a new sequence number — an unapplied delete would stop
+    shadowing its rows). Scan output is unchanged across the compaction."""
+    t, df = _setup(spark, tmp_table_root, files=8)
+    merge_into(spark, t, _sparse_source(spark, t), {"text": "upd_text"},
+               pass_id="m1", mode="mor")
+    want = sorted_rows(scan(spark, t))
+    snap = compact(spark, t, target_bytes=1 << 30, pass_id="c1")
+    assert snap is not None
+    assert sorted_rows(scan(spark, t)) == want
+    assert scan(spark, t).filter("text = 'late-edit'").count() == 5
+
+
+def test_rewrite_deletes_retires_backlog(spark, tmp_table_root):
+    """rewrite_deletes folds every shadowed file and retires ALL delete
+    files; the scan is unchanged and subsequent scans are anti-join-free."""
+    t, df = _setup(spark, tmp_table_root)
+    for i in range(3):
+        merge_into(spark, t, _sparse_source(spark, t, tag=f"gen{i}"),
+                   {"text": "upd_text"}, pass_id=f"m{i}", mode="mor")
+    want = sorted_rows(scan(spark, t))
+    assert scan_stats(t)["delete_files"] == 3
+    snap = rewrite_deletes(spark, t, pass_id="rw1")
+    assert snap is not None and snap.operation == "rewrite-deletes"
+    assert "delete_files" not in scan_stats(t)
+    assert sorted_rows(scan(spark, t)) == want
+    # idempotent: nothing left to fold
+    assert rewrite_deletes(spark, t, pass_id="rw2") is None
+    # resume path: same pass_id is a committed no-op
+    assert rewrite_deletes(spark, t, pass_id="rw1").snapshot_id \
+        == t.current_snapshot().snapshot_id
+
+
+def test_cluster_folds_deletes(spark, tmp_table_root):
+    t, df = _setup(spark, tmp_table_root)
+    merge_into(spark, t, _sparse_source(spark, t), {"text": "upd_text"},
+               pass_id="m1", mode="mor")
+    want = sorted_rows(scan(spark, t))
+    cluster(spark, t, "zorder", target_bytes=1 << 20, pass_id="cl1")
+    assert "delete_files" not in scan_stats(t)
+    assert sorted_rows(scan(spark, t)) == want
+
+
+def test_full_cow_rewrite_retires_deletes(spark, tmp_table_root):
+    """A CoW merge whose pruning covers the WHOLE table folds and retires
+    the delete backlog in its own commit (the fused maintenance shape)."""
+    t, df = _setup(spark, tmp_table_root)
+    merge_into(spark, t, _sparse_source(spark, t), {"text": "upd_text"},
+               pass_id="m1", mode="mor")
+    want_edit = scan(spark, t).filter("text = 'late-edit'").count()
+    bulk = (scan(spark, t).select("conv_id", "turn_idx")
+            .withColumn("upd_role", F.lit(None).cast("string")))
+    merge_into(spark, t, bulk, {"role": "upd_role"}, pass_id="m2",
+               mode="cow")
+    assert "delete_files" not in scan_stats(t)
+    assert scan(spark, t).filter("text = 'late-edit'").count() == want_edit
+
+
+def test_maintenance_pass_over_mor_backlog(spark, tmp_table_root):
+    """run_maintenance(separate_compaction=True) over a table with a MoR
+    backlog: rewrite_deletes folds it, everything stays green, and the
+    grace-0 sweep leaves only live files."""
+    from engine.synth import inject_missing
+    df = generate_transcripts(spark, num_convs=60)
+    injected, wl = inject_missing(df)
+    t = Table.create(tmp_table_root)
+    append(t, injected, num_files=6, range_cols=["conv_id", "turn_idx"])
+    merge_into(spark, t, _sparse_source(spark, t), {"text": "upd_text"},
+               pass_id="m0", mode="mor")
+    out = run_maintenance(spark, t, target_bytes=1 << 20,
+                          separate_compaction=True, keep_last=1,
+                          grace_seconds=0.0)
+    assert "rewrite_deletes_s" in out
+    res = scan(spark, t)
+    assert res.filter("role is null or text is null").count() == 0
+    assert res.filter("text = 'late-edit'").count() == 5
+    assert "delete_files" not in scan_stats(t)
+    sweep_orphans(spark, t, grace_seconds=0.0)
+    import os
+    live = {e.path for e in t.manifest_entries(content="all")}
+    on_disk = {os.path.join("data", n) for n in os.listdir(t.data_dir)}
+    assert on_disk == live
+
+
+def test_mor_scan_predicate_pruning_still_correct(spark, tmp_table_root):
+    """Predicate-pruned scans apply only the overlapping deletes and still
+    return exactly the right rows."""
+    from engine.scan import Predicate
+    t, df = _setup(spark, tmp_table_root)
+    src = _sparse_source(spark, t)
+    keys = [(r["conv_id"], r["turn_idx"]) for r in
+            src.select("conv_id", "turn_idx").collect()]
+    merge_into(spark, t, src, {"text": "upd_text"},
+               pass_id="m1", mode="mor")
+    conv = keys[0][0]
+    out = scan(spark, t, predicates=[Predicate("conv_id", "eq", conv)]) \
+        .filter(F.col("conv_id") == conv)
+    hit = out.filter("text = 'late-edit'").count()
+    want = sum(1 for c, _ in keys if c == conv)
+    assert hit == want
+    assert out.groupBy("conv_id", "turn_idx").count() \
+              .filter("count > 1").count() == 0
