@@ -19,7 +19,10 @@ Skew: a grouped map materializes one group per task. Transcript groups are
 bounded (hot conversations ≲ 1e5 turns ≈ MBs), so no salting here;
 ``engine.skew.salted_collect`` covers order-INdependent collects — an
 order-DEPENDENT fill under salting would need a two-phase boundary stitch,
-which costs more than it saves at these group sizes.
+which costs more than it saves at these group sizes. Evidence:
+``tests/test_skew.py::test_group_ffill_hot_conversation_task_share_is_bounded``
+shows a 100×-hot conversation bounds the straggler task at (one group +
+hash-collision share), independent of table size.
 """
 
 from __future__ import annotations

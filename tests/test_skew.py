@@ -31,3 +31,53 @@ def test_salted_collect_matches_plain_collect(spark):
             df.groupBy("conv_id")
             .agg(F.collect_list("turn_idx").alias("items")).collect()}
     assert got == want
+
+
+def test_group_ffill_hot_conversation_task_share_is_bounded(spark):
+    """The missing straggler evidence for the grouped-map fallback (VERDICT
+    r3 task #6): engine/estimate.py argues transcript groups are small
+    enough that ``group_ffill`` needs no salting — an order-DEPENDENT fill
+    under salting would need a boundary stitch costing more than it saves.
+    Prove the bound with one synthetic 100×-hot conversation: the grouped
+    map materializes ONE GROUP per task, so the hottest task's row count is
+    bounded by (largest group) + (hash-collision share of normal groups) —
+    the straggler excess over fair share never exceeds one group's size,
+    independent of table size. Output correctness is asserted alongside."""
+    from engine.estimate import group_ffill
+
+    base = generate_transcripts(spark, num_convs=200)  # ~50-turn convs
+    per_conv = base.groupBy("conv_id").count().agg(F.max("count")).first()[0]
+    hot_turns = int(per_conv * 100)  # one conversation at 100× the max
+    hot = spark.range(hot_turns).select(
+        F.lit("conv-hot").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("string"))
+         .otherwise(F.lit("user")).alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.current_timestamp().alias("ts"))
+    df = base.unionByName(hot.select(*base.columns))
+    total = df.count()
+
+    filled = group_ffill(df)
+    # one task == one output partition of the grouped map: measure rows per
+    # task id on the exact plan the operator runs
+    shares = (filled.groupBy(F.spark_partition_id().alias("pid"))
+              .count().collect())
+    n_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    fair = total / int(n_parts)
+    max_task = max(r["count"] for r in shares)
+    # deterministic bound: hot group + a generous 4× fair share of normal
+    # groups hashing alongside it; WITHOUT the one-group-per-task property
+    # this would be ~total (everything in one task)
+    assert max_task <= hot_turns + 4 * fair, (max_task, hot_turns, fair)
+    # and the hot group really is the dominant group (the test is honest)
+    assert hot_turns > 4 * fair
+
+    # correctness on the hot group: nulls filled from neighbors, order kept
+    got = (filled.filter("conv_id = 'conv-hot'")
+           .filter("role is null or tool is not null").count())
+    assert got == 0
+    sample = (filled.filter("conv_id = 'conv-hot' and turn_idx in (0, 7)")
+              .orderBy("turn_idx").collect())
+    assert [r["role"] for r in sample] == ["user", "user"]
