@@ -171,18 +171,37 @@ def dedup_simhash(spark, sf):
     return simhash_dedup(_t(spark, sf, "documents"))
 
 
-# ── embedding-cosine near-dup pairs ─────────────────────────────────────────
+# ── embedding-cosine near-dup pairs → dedup clusters ───────────────────────
+# The pair list PLUS the transitive closure (engine.ops.graph connected
+# components — hash-min + pointer jumping): cluster_id = min vec_id
+# reachable from id_a through the pair graph, i.e. the canonical surviving
+# document of id_a's dedup cluster. The oracle replays the closure with a
+# recursive reachability CTE over the SAME pairs (VERDICT r3 task #7: the
+# iterative distributed algorithm verified against exact SQL semantics).
 @register("dedup_embedding_cosine", """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6)
-         AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6)
+        >= 0.3),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT p.id_a, p.id_b, p.cosine, c.cluster_id
+FROM pairs p JOIN comp c ON p.id_a = c.node
 """)
 def dedup_embedding(spark, sf):
     from .ops.dedup import embedding_neardup_pairs
+    from .ops.graph import connected_components
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
     # exact=True IS the point of this entry: the all-pairs baseline the
@@ -190,7 +209,11 @@ def dedup_embedding(spark, sf):
     # (exact=False: LSH-bucketed candidates, no cross join) — covered by
     # tests/test_ops.py recall + plan assertions instead of an oracle
     # (seeded hyperplanes have no SQL analog).
-    return embedding_neardup_pairs(emb, threshold=0.5, exact=True)
+    pairs = embedding_neardup_pairs(emb, threshold=0.3, exact=True)
+    comp = connected_components(pairs, "id_a", "id_b") \
+        .withColumnRenamed("comp", "cluster_id")
+    return pairs.join(comp, pairs.id_a == comp.node) \
+        .select("id_a", "id_b", "cosine", "cluster_id")
 
 
 # ── brute-force cosine top-k (ANN baseline) ─────────────────────────────────
