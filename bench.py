@@ -162,6 +162,118 @@ def maintenance_throughput(spark, pristine: str,
     }
 
 
+def steady_state_leg(spark, pristine: str, work_dir: str) -> dict:
+    """The maintenance ops the headline (fused) pass never runs (VERDICT r3
+    task #2): streamed small appends (``ingest_batch``) + one sparse
+    late-edit batch (the merge-on-read path) → single-job ``compact`` →
+    ``rewrite_deletes`` → snapshot expiry → orphan sweep. Reports per-stage
+    seconds, the small-file count before/after bin-packing, and the MEASURED
+    Spark job count of the compaction pass (``sc.statusTracker`` over a job
+    group — the single-job claim of engine/maintain.py:59-75)."""
+    from pyspark.sql import functions as F
+
+    from engine.format import Table
+    from engine.maintain import (compact, expire_snapshots, rewrite_deletes,
+                                 sweep_orphans)
+    from engine.scan import scan, scan_stats
+    from engine.streaming import ingest_batch
+    from engine.synth import generate_transcripts
+
+    root = os.path.join(work_dir, f"bench_steady_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.copytree(pristine, root)
+    t = Table(root)
+    # session warm-up outside every timed window (same rationale as the
+    # headline leg: first-read/first-job JVM costs are one-time)
+    first = os.path.join(t.data_dir, sorted(os.listdir(t.data_dir))[0])
+    spark.read.parquet(first).limit(1).collect()
+    spark.range(100_000).selectExpr("sum(id)").collect()
+    base_rows = scan_stats(t)["rows"]
+    base_sid = t.current_snapshot().snapshot_id
+    # batch size scales with the table (fixed work shape across sf), one
+    # small file per batch — the steady small-file inflow compaction packs
+    batch_convs = max(200, base_rows // 28 // 50)
+
+    n_batches = 6
+    t0 = time.time()
+    ins_rows = 0
+    for i in range(n_batches):
+        b = (generate_transcripts(spark, num_convs=batch_convs)
+             .withColumn("conv_id",
+                         F.concat(F.lit(f"z{i:02d}-"), F.col("conv_id"))))
+        ins_rows += b.count()
+        ingest_batch(spark, t, b, batch_id=1000 + i)
+    ingest_s = time.time() - t0
+    # one sparse late-edit batch over a few existing (non-hot)
+    # conversations: existing keys → MERGE; tiny fraction of the affected
+    # file → auto merge-on-read (delete + insert files, no rewrite)
+    t0 = time.time()
+    upd = (generate_transcripts(spark, num_convs=7)
+           .filter(F.col("conv_id") != "conv-00000000")  # skip the hot conv
+           .withColumn("text", F.concat(F.lit("edited: "), F.col("text"))))
+    ingest_batch(spark, t, upd, batch_id=2000)
+    update_s = time.time() - t0
+    st = scan_stats(t)
+    mor_delete_files = st.get("delete_files", 0)
+
+    # compaction target sized off the MEASURED batch files so they are
+    # bin-pack-eligible (size < tb/2 = max(batch file) + 1). zstd pristine
+    # files can fall under the same threshold — then the leg measures a
+    # genuine whole-backlog bin-pack, still as ONE action (job count below)
+    batch_files = [e for e in t.manifest_entries()
+                   if e.sequence_number > base_sid]
+    tb = 2 * (max(e.file_size_bytes for e in batch_files) + 1)
+    small_before = sum(1 for e in t.manifest_entries()
+                       if e.file_size_bytes < tb // 2)
+    sc = spark.sparkContext
+    sc.setJobGroup("bench-compact", "steady-state compaction")
+    t0 = time.time()
+    compact(spark, t, target_bytes=tb)
+    compact_s = time.time() - t0
+    sc.setJobGroup("bench-rest", "post-compaction")
+    compact_jobs = len(sc.statusTracker().getJobIdsForGroup("bench-compact"))
+    small_after = sum(1 for e in t.manifest_entries()
+                      if e.file_size_bytes < tb // 2)
+    t0 = time.time()
+    rewrite_deletes(spark, t, target_bytes=tb)
+    rwdel_s = time.time() - t0
+    t0 = time.time()
+    expire_snapshots(t, keep_last=1)
+    orphans = len(sweep_orphans(spark, t, grace_seconds=0.0))
+    sweep_s = time.time() - t0
+    t0 = time.time()
+    rows = scan(spark, t).count()
+    scan_s = time.time() - t0
+    edited = scan(spark, t).filter("text like 'edited: %'").count()
+    shutil.rmtree(root, ignore_errors=True)
+    assert rows == base_rows + ins_rows, (rows, base_rows, ins_rows)
+    total = ingest_s + update_s + compact_s + rwdel_s + sweep_s
+    return {
+        "rows": rows, "ingested_rows": ins_rows,
+        "edited_rows": edited,
+        "ingest_s": round(ingest_s, 3), "update_s": round(update_s, 3),
+        "compact_s": round(compact_s, 3), "compact_jobs": compact_jobs,
+        "small_files_before": small_before, "small_files_after": small_after,
+        "mor_delete_files": mor_delete_files,
+        "rewrite_deletes_s": round(rwdel_s, 3),
+        "expire_sweep_s": round(sweep_s, 3), "orphans_removed": orphans,
+        "scan_s": round(scan_s, 3),
+        "total_s": round(total, 3),
+        "rows_per_sec": round((ins_rows + rows) / max(1e-9, total), 1),
+    }
+
+
+def phase_steady(cpus: int, num_convs: int, pristine: str,
+                 work_dir: str) -> None:
+    from engine.session import get_spark
+    spark = get_spark(app=f"bench-steady-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(64, num_convs // 3000))
+    spark.sparkContext.setLogLevel("ERROR")
+    out = steady_state_leg(spark, pristine, work_dir)
+    spark.stop()
+    print("BENCH_RESULT " + json.dumps(out))
+
+
 def phase_maintain(cpus: int, num_convs: int, pristine: str,
                    work_dir: str) -> None:
     from engine.session import get_spark
@@ -217,7 +329,9 @@ def _run_sub(cpus: int, num_convs: int, work_dir: str, pristine: str,
 
 def write_baseline_md(sf: float, lo: dict, hi: dict, full: dict,
                       full_cores: int, eff: float,
-                      pair_effs: list[float] | None = None) -> None:
+                      pair_effs: list[float] | None = None,
+                      steady: tuple[dict, dict] | None = None,
+                      spread: float | None = None) -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
     pair_effs_str = (", ".join(f"{e:.3f}" for e in pair_effs)
@@ -230,7 +344,18 @@ def write_baseline_md(sf: float, lo: dict, hi: dict, full: dict,
         stage_rows.append(f"| {label} | {a if a is not None else '—'} | "
                           f"{b if b is not None else '—'} | {spd} |")
     stage_table = "\n".join(stage_rows) or "| (no marks captured) | | | |"
-    _ = pair_effs_str, stage_table  # interpolated into the f-string below
+    if steady is not None:
+        s_lo, s_hi = steady
+        keys = ["ingest_s", "update_s", "compact_s", "compact_jobs",
+                "small_files_before", "small_files_after",
+                "mor_delete_files", "rewrite_deletes_s", "expire_sweep_s",
+                "orphans_removed", "scan_s", "total_s", "rows_per_sec"]
+        steady_table = "\n".join(
+            f"| {k} | {s_lo.get(k, '—')} | {s_hi.get(k, '—')} |"
+            for k in keys)
+    else:
+        steady_table = "| (steady leg not run) | | |"
+    _ = pair_effs_str, stage_table, steady_table  # f-string interpolation
     with open(os.path.join(here, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — maintenance throughput & N→4N scaling
 
@@ -262,12 +387,12 @@ noisy hypervisor neighbors), so the protocol attacks each failure mode:
 widths are INTERLEAVED as (N, 4N) pairs (drift hits both widths), the
 within-pair order ALTERNATES (first-order drift cancels), the pinned cpu
 range ROTATES per pair (per-core neighbor noise is sampled, not locked in),
-and the efficiency is the RATIO OF PER-WIDTH MEDIANS with every per-pair
-ratio reported for audit ({pair_effs_str}; r2's all-N-then-all-4N
-best-of-block protocol let inter-block drift land straight in the quotient,
-recording 0.440 against same-day interleaved measurements of ~0.63). The
-input table is built once and copied per run, so every width does
-byte-identical work.
+and the efficiency is the MEDIAN PER-PAIR RATIO — equal samples per width —
+with every pair reported for audit ({pair_effs_str}; r2's
+all-N-then-all-4N best-of-block protocol let inter-block drift land
+straight in the quotient, recording 0.440 against same-day interleaved
+measurements of ~0.63). The input table is built once and copied per run,
+so every width does byte-identical work.
 
 Data-moving work caps lower still: every stage of this pipeline (shuffle,
 cache write, parquet encode) scales uniformly at ~2.7× for 4× threads
@@ -287,15 +412,19 @@ resource this VM cannot scale past ~8 threads.
 | local[8] (4N) | {hi['turns']} | {hi['total_s']} | {hi.get('merge_s', 0)} | {hi.get('cluster_s', 0)} | {hi['scan_s']} | {hi['write_s']} | {hi['turns_per_sec']} |
 | local[{full_cores}] (full) | {full['turns']} | {full['total_s']} | {full.get('merge_s', 0)} | {full.get('cluster_s', 0)} | {full['scan_s']} | {full['write_s']} | {full['turns_per_sec']} |
 
-**Scaling efficiency (N→4N)** = best(4N throughput) / (4 × best(N
-throughput)) over all interleaved samples = **{eff:.3f}** (adjacent-pair
-ratios: {pair_effs_str}; target ≥ 0.8 per the north rule, VM data-movement
-ceiling ~0.67 per the calibration above). Contention on this shared VM is
+**Scaling efficiency (N→4N)** = the MEDIAN interleaved pair's
+4N/(4×N) ratio = **{eff:.3f}** (per-pair ratios: {pair_effs_str};
+max−min pair spread {spread if spread is not None else 'n/a'};
+target ≥ 0.8 per the north rule, VM data-movement ceiling ~0.67 per the
+calibration above). Both widths are sampled the SAME number of times and
+each pair shares one ambient-load window, so host drift cancels in the
+ratio instead of landing in the quotient; the protocol extends up to 2
+extra pairs while the spread exceeds 0.1. Contention on this shared VM is
 strictly additive on byte-identical deterministic work — a run can be
-slowed, never sped up — so the fastest observation per width is the
-least-contaminated estimate of that width's true throughput; the full
-sample lists live in the bench JSON so the ambient spread is auditable.
-The table rows show each width's best run.
+slowed, never sped up — so the per-width BESTS (an auxiliary bound in the
+bench JSON) bracket the true value from below; the full sample lists live
+in the JSON so the ambient spread is auditable. The table rows show each
+width's best run.
 
 ## Per-stage timing, best runs (ENGINE_TIMING marks, seconds)
 
@@ -309,6 +438,21 @@ deployment would also pay per pass.
 | stage | local[2] (s) | local[8] (s) | speedup |
 |---|---|---|---|
 {stage_table}
+
+## Steady-state maintenance ops (the cadence the fused headline never runs)
+
+Streamed small appends (`ingest_batch`, 6 insert batches + 1 sparse
+late-edit batch that takes the merge-on-read path) → single-job `compact`
+→ `rewrite_deletes` (folds the MoR delete backlog) → snapshot expiry →
+grace-0 orphan sweep, at both widths on a copy of the same pristine table:
+
+| stage | local[2] (N) | local[8] (4N) |
+|---|---|---|
+{steady_table}
+
+The compaction job count is MEASURED via ``sc.statusTracker`` over a job
+group — the whole bin-pack plan executes as the listed number of Spark
+jobs regardless of group count (engine/maintain.py single-job design).
 
 ## What was tuned to get here (see git history for each step)
 
@@ -382,6 +526,9 @@ def main() -> None:
     if args.phase == "maintain":
         phase_maintain(args.cpus, num_convs, pristine, args.work_dir)
         return
+    if args.phase == "steady":
+        phase_steady(args.cpus, num_convs, pristine, args.work_dir)
+        return
 
     from engine.session import get_spark
     spark = get_spark(app="bench", master=f"local[{args.cpus}]")
@@ -405,31 +552,31 @@ def main() -> None:
         # differently-contended bests). Protocol: INTERLEAVED (N, 4N) pairs
         # — each pair sees the same ambient load — and the MEDIAN pair's
         # efficiency is the result; every pair is reported for audit.
-        # each rep = (4N, N, 4N): 2 reps give 4 samples of the noise-prone
-        # short width and 2 of the stable long one within the wall budget
-        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+        # each rep = ONE interleaved (N, 4N) pair — both widths sampled the
+        # SAME number of times (an asymmetric design structurally favors
+        # whichever width gets more draws under a max/median estimator)
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
         # the input table is built ONCE (unpinned, full width) and copied
         # per measured run: byte-identical work at every width, and the
-        # ~30 s of setup is paid once instead of 2×reps+1 times
+        # ~30 s of setup is paid once instead of per run
         _run_sub(args.cpus, num_convs, work_dir, pristine,
                  phase="build", pin=False)
         # noise levers, each attacking a measured failure mode of this VM
         # (shared host: ANY single run can be slowed 10-60% by a noisy
-        # hypervisor neighbor for minutes at a time — measured three r3
-        # windows with 4N samples spanning 47.7k-132.7k turns/s on
-        # byte-identical work while N=2 stayed within ±6%):
-        # (a) widths INTERLEAVED → minutes-scale drift hits both widths;
-        # (b) the pinned cpu RANGE rotates per rep, starting ABOVE the
+        # hypervisor neighbor for minutes at a time — measured r3 windows
+        # with 4N samples spanning 47.7k-132.7k turns/s on byte-identical
+        # work while N=2 stayed within ±6%):
+        # (a) widths INTERLEAVED as pairs → minutes-scale drift hits both
+        #     widths of a pair about equally and cancels in its ratio;
+        # (b) the within-pair ORDER alternates per rep (first-order drift
+        #     across a pair cancels over reps);
+        # (c) the pinned cpu RANGE rotates per run, starting ABOVE the
         #     kernel-housekeeping cores 0..7 (offset-0 runs measured −6% at
         #     N, −23% at 4N vs higher offsets);
-        # (c) 4N is sampled 2× per rep (short runs are the noise-sensitive
-        #     ones: a fixed-length disturbance eats proportionally more of
-        #     a 60 s run than a 115 s run);
-        # (d) the estimator is MAX per width: contention is strictly
-        #     additive on deterministic identical work — a run can only be
-        #     slowed, never sped up — so the fastest observation per width
-        #     is the least-contaminated one. Medians and every raw sample
-        #     stay in the JSON so the ambient spread is auditable.
+        # (d) the HEADLINE estimator is the MEDIAN PAIR efficiency — a
+        #     storm that hits one pair moves one ratio, not the headline;
+        #     best-per-width is reported as an auxiliary (contention is
+        #     strictly additive, so per-width bests bound the true value).
         lo_runs: list[dict] = []
         hi_runs: list[dict] = []
         n_cpu = os.cpu_count() or 32
@@ -437,41 +584,57 @@ def main() -> None:
         def _off(j: int) -> int:
             return (1 + j % 3) * n_hi % max(n_hi, n_cpu - n_hi + 1)
 
+        def _one_pair(i: int, j: int) -> tuple[dict, dict]:
+            if i % 2 == 0:
+                hi = _run_sub(n_hi, num_convs, work_dir, pristine,
+                              cpu_offset=_off(j))
+                lo = _run_sub(n_lo, num_convs, work_dir, pristine,
+                              cpu_offset=_off(j + 1))
+            else:
+                lo = _run_sub(n_lo, num_convs, work_dir, pristine,
+                              cpu_offset=_off(j))
+                hi = _run_sub(n_hi, num_convs, work_dir, pristine,
+                              cpu_offset=_off(j + 1))
+            return lo, hi
+
         j = 0
         for i in range(reps):
-            hi_runs.append(_run_sub(n_hi, num_convs, work_dir, pristine,
-                                    cpu_offset=_off(j))); j += 1
-            lo_runs.append(_run_sub(n_lo, num_convs, work_dir, pristine,
-                                    cpu_offset=_off(j))); j += 1
-            hi_runs.append(_run_sub(n_hi, num_convs, work_dir, pristine,
-                                    cpu_offset=_off(j))); j += 1
-        # adaptive extension: a >25% spread within a width means at least
-        # one sample was contended (byte-identical work) — spend up to ~3.5
-        # extra minutes on one more sample of each affected width so a
-        # stormy window still has a chance to catch a clean run
-        def _spread(runs: list[dict]) -> float:
-            vals = [r["turns_per_sec"] for r in runs]
-            return max(vals) / max(1e-9, min(vals))
+            lo, hi = _one_pair(i, j)
+            j += 2
+            lo_runs.append(lo)
+            hi_runs.append(hi)
 
+        def _pair_effs() -> list[float]:
+            return [round(h["turns_per_sec"] / (4 * l["turns_per_sec"]), 3)
+                    for l, h in zip(lo_runs, hi_runs)]
+
+        # adaptive extension: the done-bar is a max−min PAIR spread ≤ 0.1;
+        # a wider spread means at least one pair was contended (the work is
+        # byte-identical), so spend up to 2 extra pairs chasing a clean one
         extensions = 0
-        if _spread(hi_runs) > 1.25:
-            hi_runs.append(_run_sub(n_hi, num_convs, work_dir, pristine,
-                                    cpu_offset=_off(j))); j += 1
+        while (max(_pair_effs()) - min(_pair_effs()) > 0.1
+               and extensions < 2):
+            lo, hi = _one_pair(reps + extensions, j)
+            j += 2
+            lo_runs.append(lo)
+            hi_runs.append(hi)
             extensions += 1
-        if _spread(lo_runs) > 1.25:
-            lo_runs.append(_run_sub(n_lo, num_convs, work_dir, pristine,
-                                    cpu_offset=_off(j))); j += 1
-            extensions += 1
+        pair_effs = _pair_effs()
+        spread = round(max(pair_effs) - min(pair_effs), 3)
         full = (lo_runs[0] if args.cpus <= n_lo
                 else _run_sub(args.cpus, num_convs, work_dir, pristine)
                 if args.cpus > n_hi else hi_runs[0])
+        steady_lo = _run_sub(n_lo, num_convs, work_dir, pristine,
+                             phase="steady", cpu_offset=_off(j)); j += 1
+        steady_hi = _run_sub(n_hi, num_convs, work_dir, pristine,
+                             phase="steady", cpu_offset=_off(j)); j += 1
         shutil.rmtree(pristine, ignore_errors=True)
 
         def _median(vals: list[float]) -> float:
             s = sorted(vals)
             mid = len(s) // 2
             return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2,
-                                                   1)
+                                                   3)
 
         def _best_run(runs: list[dict]) -> dict:
             return max(runs, key=lambda r: r["turns_per_sec"])
@@ -479,55 +642,57 @@ def main() -> None:
         lo, hi = _best_run(lo_runs), _best_run(hi_runs)
         best_n = lo["turns_per_sec"]
         best_4n = hi["turns_per_sec"]
-        med_n = _median([r["turns_per_sec"] for r in lo_runs])
-        med_4n = _median([r["turns_per_sec"] for r in hi_runs])
-        eff = round(best_4n / (4 * best_n), 3)
-        eff_median = round(med_4n / (4 * med_n), 3)
-        # adjacent (4N, N) samples as audit pairs (each rep contributes its
-        # first 4N with its N — same rotation neighborhood)
-        pairs = [(lo_runs[i], hi_runs[2 * i],
-                  round(hi_runs[2 * i]["turns_per_sec"]
-                        / (4 * lo_runs[i]["turns_per_sec"]), 3))
-                 for i in range(reps)]
+        eff_median_pair = round(_median(pair_effs), 3)
+        eff_best = round(best_4n / (4 * best_n), 3)
         # headline = best measured width: past ~8 threads this VM's virtual
         # cores add contention, not capacity (see BENCH/BASELINE.md), and a
         # real operator would deploy at the knee, not the max
-        result["value"] = max(full["turns_per_sec"],
-                              *(h["turns_per_sec"] for _, h, _ in pairs))
+        result["value"] = max(full["turns_per_sec"], best_4n)
         result["scaling"] = {
             "throughput_n": best_n,
             "throughput_4n": best_4n,
             "n_cores": n_lo, "4n_cores": n_hi,
             "throughput_full": full["turns_per_sec"],
             "full_cores": args.cpus,
-            "efficiency": eff,
-            "efficiency_median": eff_median,
-            "protocol": "interleaved widths, rotated cpu pinning (above the "
-                        "kernel cores), pristine-copy inputs, 2x 4N samples "
-                        "per rep; efficiency = best(4N)/(4 x best(N)) — "
-                        "contention on this shared VM is strictly additive "
-                        "on byte-identical deterministic work, so the "
-                        "fastest run per width is the least-contaminated "
-                        "observation; medians and every raw sample reported "
-                        "for audit",
+            # HEADLINE: the median interleaved pair's efficiency (each pair
+            # shares one ambient-load window, so drift cancels in the
+            # ratio); symmetric sampling, per the documented protocol
+            "efficiency": eff_median_pair,
+            "efficiency_best": eff_best,
+            "pair_spread": spread,
+            **({"spread_note": "pair spread stayed > 0.1 after "
+                               f"{extensions} extension pair(s): ambient "
+                               "contention storms on this shared VM — see "
+                               "per-pair samples"}
+               if spread > 0.1 else {}),
+            "protocol": "interleaved (N,4N) pairs, alternating within-pair "
+                        "order, rotated cpu pinning (above the kernel "
+                        "cores), pristine-copy inputs, equal samples per "
+                        "width; efficiency = MEDIAN pair 4N/(4xN) ratio "
+                        "(each pair shares one ambient window), extended "
+                        "up to 2 pairs while max-min pair spread > 0.1; "
+                        "best-per-width reported as auxiliary bound",
             "samples_n": [r["turns_per_sec"] for r in lo_runs],
             "samples_4n": [r["turns_per_sec"] for r in hi_runs],
-            "pairs": [{"n": p[0]["turns_per_sec"],
-                       "4n": p[1]["turns_per_sec"],
-                       "eff": p[2]} for p in pairs],
+            "pairs": [{"n": l["turns_per_sec"], "4n": h["turns_per_sec"],
+                       "eff": e}
+                      for l, h, e in zip(lo_runs, hi_runs, pair_effs)],
             # the original 8→32 pair, reported for auditability: this VM's
             # virtual cores cap it at ~0.47 for ANY workload (calibration in
             # BENCH/BASELINE.md) — the 2→8 pair above is the honest N-vs-4N
             "efficiency_8_32": (
                 round(full["turns_per_sec"] / (4 * best_4n), 3)
                 if args.cpus == 32 else None),
-            "median_n": med_n, "median_4n": med_4n,
+            "median_n": _median([r["turns_per_sec"] for r in lo_runs]),
+            "median_4n": _median([r["turns_per_sec"] for r in hi_runs]),
             "reps": reps,
             "extensions": extensions,
             "turns": hi["turns"],
         }
-        write_baseline_md(sf, lo, hi, full, args.cpus, eff,
-                          [p[2] for p in pairs])
+        result["maintenance_ops"] = {"n": steady_lo, "4n": steady_hi}
+        write_baseline_md(sf, lo, hi, full, args.cpus, eff_median_pair,
+                          pair_effs, steady=(steady_lo, steady_hi),
+                          spread=spread)
     print(json.dumps(result))
 
 

@@ -8,6 +8,7 @@ Commands
     maintain <table_root>               full maintenance pass
     merge    <table_root>               impute-MERGE only
     compact  <table_root>               bin-packing compaction only
+    rewrite-deletes <table_root>        fold the merge-on-read delete backlog
     cluster  <table_root> [zorder|hilbert]
     expire   <table_root> [keep_last]
     sweep    <table_root> [grace_seconds]
@@ -52,6 +53,11 @@ def main(argv: list[str]) -> int:
         elif cmd == "compact":
             from .maintain import compact
             snap = compact(spark, Table(root))
+            print(json.dumps({"snapshot":
+                              snap.snapshot_id if snap else None}))
+        elif cmd == "rewrite-deletes":
+            from .maintain import rewrite_deletes
+            snap = rewrite_deletes(spark, Table(root))
             print(json.dumps({"snapshot":
                               snap.snapshot_id if snap else None}))
         elif cmd == "cluster":

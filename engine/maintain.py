@@ -67,7 +67,11 @@ def compact(spark: SparkSession, table: Table,
     single write emits one file per group. A per-group-job design (the r2
     shape) sequences O(groups) driver-scheduled jobs — at a 100 TB backlog of
     small files that is thousands of jobs whose fixed latency dominates; here
-    the whole plan is one scan + one shuffle regardless of group count.
+    the whole plan is one scan + one shuffle regardless of group count: ONE
+    action, which AQE executes as a CONSTANT number of stages/jobs
+    (measured via ``sc.statusTracker``: 4 without a delete backlog, ~8 when
+    the merge-on-read anti-join rides along — constant as groups double;
+    tests/test_maintain.py and the bench steady leg).
 
     Per-group lineage+metrics checkpoint records are still written (one per
     group, after the write is durably staged), so a pass killed after staging

@@ -340,3 +340,36 @@ def test_merge_empty_source_commits_noop_snapshot(spark, tmp_table_root):
     snap = merge_into(spark, t, src, {"text": "upd_text"}, pass_id="e1")
     assert snap.operation == "merge"
     assert sorted_rows(scan(spark, t)) == before
+
+
+def test_compact_job_count_constant_in_group_count(spark, tmp_path):
+    """The single-job compaction claim, measured (VERDICT r3 task #2): the
+    whole bin-pack plan is ONE action — AQE executes it as a constant
+    number of stages/jobs (broadcast build + shuffle map + write), NOT
+    O(groups) driver-scheduled jobs. Doubling the group count must not
+    change the job count."""
+    from engine.synth import generate_transcripts
+
+    def jobs_for(n_files: int, groups_hint: int, tag: str) -> tuple[int, int]:
+        root = str(tmp_path / f"tbl_{tag}")
+        df = generate_transcripts(spark, num_convs=24 * groups_hint)
+        t = Table.create(root)
+        # many small files, appended as one commit
+        append(t, df, num_files=n_files, range_cols=["conv_id", "turn_idx"])
+        sizes = [e.file_size_bytes for e in t.manifest_entries()]
+        tb = int(sum(sizes) / groups_hint) + 1
+        sc = spark.sparkContext
+        group = f"compact-count-{tag}"
+        sc.setJobGroup(group, tag)
+        snap = compact(spark, t, target_bytes=tb, pass_id=f"jc-{tag}")
+        sc.setJobGroup("other", "done")
+        assert snap is not None
+        n_groups = snap.summary["groups"]
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        return n_jobs, n_groups
+
+    jobs_a, groups_a = jobs_for(8, 2, "a")
+    jobs_b, groups_b = jobs_for(16, 4, "b")
+    assert groups_b > groups_a  # the plan really did scale in groups
+    assert jobs_b == jobs_a, (jobs_a, jobs_b)
+    assert jobs_a <= 5
