@@ -454,6 +454,18 @@ The compaction job count is MEASURED via ``sc.statusTracker`` over a job
 group — the whole bin-pack plan executes as the listed number of Spark
 jobs regardless of group count (engine/maintain.py single-job design).
 
+**Merge-on-read economics** (measured on a 1.4M-turn / 24-file table,
+local[8], best-of-3): a 132-row sparse MERGE commits **5.2 KB** in MoR
+mode vs **10.8 MB** in CoW (the keys hash-spread across every file) —
+a **~2,080× write-amplification reduction**, which is the difference that
+dominates 100 TB steady state with ~0.01 % late updates. The read tax: a
+full scan against a 3-generation delete backlog costs ~0.5 s extra on
+1.4M rows (~0.3 µs/row — one broadcast hash anti-join probe on the merge
+keys; files older than every delete take a seq-free fast path, only the
+tiny insert files pay the sequence-aware join). The tax is bounded by the
+`rewrite_deletes` / compaction cadence, which folds and retires the
+backlog (steady-leg row above).
+
 ## What was tuned to get here (see git history for each step)
 
 - file/partition counts derived from data size, never core count (same work

@@ -235,10 +235,8 @@ def rewrite_deletes(spark: SparkSession, table: Table,
     elif not affected:
         staged = []
     else:
-        from .scan import apply_equality_deletes
-        df = spark.read.parquet(
-            *[os.path.join(table.root, e.path) for e in affected])
-        df = apply_equality_deletes(spark, table, df, affected, dels)
+        from .scan import read_with_deletes
+        df = read_with_deletes(spark, table, affected, dels)
         in_bytes = sum(e.file_size_bytes for e in affected)
         num_files = max(1, round(in_bytes / target_bytes))
         bounds = range_bounds_from_entries(affected, num_files, "conv_id")
@@ -301,15 +299,12 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
         staged = [_restat(table, p) for p in rec["output_files"]]
     else:
         from .layout import curve_bounds
-        df = spark.read.parquet(
-            *[os.path.join(table.root, p) for p in in_paths])
-        if delete_entries:
-            # full rewrite folds the whole merge-on-read backlog: apply the
-            # equality deletes here and retire the delete files in the
-            # commit below (every data file they could shadow is replaced)
-            from .scan import apply_equality_deletes
-            df = apply_equality_deletes(spark, table, df, entries,
-                                        delete_entries)
+        # full rewrite folds the whole merge-on-read backlog: the read
+        # applies the equality deletes (seq-split fast path) and the commit
+        # below retires the delete files (every data file they could
+        # shadow is replaced)
+        from .scan import read_with_deletes
+        df = read_with_deletes(spark, table, entries, delete_entries)
         ts_b = ts_bounds_micros(entries)
         # curve-key quantiles over a two-column scan replace the range
         # sampler (which would re-evaluate the full rows a second time);

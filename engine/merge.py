@@ -483,17 +483,13 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             skew_factor=1.0, committed=False,
             extra={"mor": True, "removed": []}))
     else:
-        tgt = spark.read.parquet(
-            *[os.path.join(table.root, p) for p in affected_paths])
-        if affected_dels:
-            # merge-on-read backlog: the raw file read would resurrect
-            # deleted rows — apply the equality deletes before rewriting.
-            # The rewritten files take a NEW sequence number, so the folded
-            # deletes stop applying to them; when this rewrite covers the
-            # whole table the delete files themselves are dropped below.
-            from .scan import apply_equality_deletes
-            tgt = apply_equality_deletes(spark, table, tgt, affected,
-                                         affected_dels)
+        # merge-on-read backlog: a raw file read would resurrect deleted
+        # rows — the delete-applied read (seq-split fast path) prevents it.
+        # The rewritten files take a NEW sequence number, so the folded
+        # deletes stop applying to them; when this rewrite covers the
+        # whole table the delete files themselves are dropped below.
+        from .scan import read_with_deletes
+        tgt = read_with_deletes(spark, table, affected, affected_dels)
         if set(affected_paths) == {e.path for e in entries}:
             removed_paths |= {e.path for e in delete_entries}
         out = build_rewrite(tgt, source, update_map, broadcast_source)

@@ -219,3 +219,55 @@ def test_mor_scan_predicate_pruning_still_correct(spark, tmp_table_root):
     assert hit == want
     assert out.groupBy("conv_id", "turn_idx").count() \
               .filter("count > 1").count() == 0
+
+
+def test_mor_cow_equivalence_under_random_op_sequence(spark, tmp_table_root,
+                                                      tmp_path):
+    """Randomized (seeded) equivalence fuzz: the SAME sequence of sparse
+    merges applied to twin tables — one forced merge-on-read, one forced
+    copy-on-write — interleaved with maintenance ops on the MoR side only
+    (compact / rewrite_deletes / cluster, which fold the backlog), must
+    keep the two tables row-identical at every step. This pins the
+    sequence-number semantics (stacked generations, folding, retirement)
+    against the trivially-correct CoW reference implementation."""
+    import random
+
+    rng = random.Random(7)
+    t_mor, df = _setup(spark, tmp_table_root, convs=40, files=5)
+    t_cow, _ = _setup(spark, str(tmp_path / "twin"), convs=40, files=5)
+
+    def sparse_src(step: int):
+        # deterministic pseudo-random key subset via hash bucketing
+        bucket = rng.randrange(37)
+        return (scan(spark, t_cow)
+                .filter(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(199))
+                        == bucket)
+                .select("conv_id", "turn_idx")
+                .withColumn("upd_text", F.lit(f"fuzz-{step}"))
+                .withColumn("upd_role", F.when(F.lit(step % 2 == 0),
+                                               F.lit(f"r{step}"))))
+
+    for step in range(6):
+        src = sparse_src(step).persist()
+        merge_into(spark, t_mor, src, {"text": "upd_text",
+                                       "role": "upd_role"},
+                   pass_id=f"fz-m{step}", mode="mor")
+        merge_into(spark, t_cow, src, {"text": "upd_text",
+                                       "role": "upd_role"},
+                   pass_id=f"fz-c{step}", mode="cow")
+        src.unpersist()
+        maint = rng.random()
+        if maint < 0.3:
+            compact(spark, t_mor, target_bytes=1 << 30,
+                    pass_id=f"fz-cp{step}")
+        elif maint < 0.5:
+            rewrite_deletes(spark, t_mor, pass_id=f"fz-rd{step}")
+        elif maint < 0.6:
+            cluster(spark, t_mor, "zorder", target_bytes=1 << 20,
+                    pass_id=f"fz-cl{step}")
+        got = sorted_rows(scan(spark, t_mor))
+        want = sorted_rows(scan(spark, t_cow))
+        assert got == want, f"diverged at step {step}"
+    # final fold retires whatever backlog remains; still identical
+    rewrite_deletes(spark, t_mor, pass_id="fz-final")
+    assert sorted_rows(scan(spark, t_mor)) == sorted_rows(scan(spark, t_cow))
