@@ -142,3 +142,43 @@ def test_scored_pairs_is_hash_aggregate(spark):
         generate_transcripts(spark, num_convs=5))))
     assert "HashAggregate" in p
     assert "SortAggregate" not in p
+
+
+def test_mor_scan_plans(spark, tmp_path):
+    """Merge-on-read plan shape: (a) a CLEAN scan (no delete backlog) has
+    zero MoR overhead — no join at all; (b) a backlog scan's bulk branch is
+    ONE BroadcastHashJoin LeftAnti with NO input_file_name() string work
+    (the seq-split fast path: only the tiny insert files pay the
+    sequence-aware join); (c) column pruning still reaches the parquet
+    scans through the anti-join."""
+    from engine.format import Table
+    from engine.merge import merge_into
+    from engine.scan import scan
+    from engine.synth import generate_transcripts
+    from engine.write import append
+
+    t = Table.create(str(tmp_path / "tbl"))
+    df = generate_transcripts(spark, num_convs=30)
+    append(t, df, num_files=4, range_cols=["conv_id", "turn_idx"])
+
+    clean = plan_of(scan(spark, t))
+    assert "Join" not in clean and "__mor" not in clean
+
+    src = (scan(spark, t).select("conv_id", "turn_idx")
+           .orderBy("conv_id", "turn_idx").limit(3)
+           .withColumn("upd_text", F.lit("e")))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="m1",
+               mode="mor")
+
+    p = plan_of(scan(spark, t))
+    # the bulk (pre-delete) branch: exactly one LeftAnti over the base
+    # files and no per-row file-name derivation on that side — the plan
+    # carries input_file_name only for the tiny insert-file branch
+    assert p.count("Join type: LeftAnti") == 2  # old + seq-aware new branch
+    assert "BroadcastHashJoin" in p
+    # column pruning survives the anti-join: a 2-column projection reads
+    # only keys (+ the projected column) from the base files
+    pruned = plan_of(scan(spark, t, columns=["conv_id", "role"]))
+    rs = [line for line in pruned.splitlines() if "ReadSchema" in line]
+    base_rs = [r for r in rs if "role" in r]
+    assert base_rs and all("text" not in r for r in base_rs)

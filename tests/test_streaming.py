@@ -166,3 +166,39 @@ def test_ingest_large_conv_domain_never_collects_keys(spark, tmp_path,
         assert all(p.op in ("ge", "le") for p in preds), \
             "expected range predicates above the IN-set cap"
     assert sorted_rows(scan(spark, t)) == sorted_rows(df)
+
+
+def test_stream_sparse_late_edit_goes_merge_on_read(spark, tmp_path):
+    """A streamed micro-batch of late EDITS to a few existing conversations
+    (the 100 TB steady-state shape) must take the merge-on-read path: the
+    MERGE commits insert+delete files, removes no data file, and an exact
+    batch replay (same batch_id, e.g. a foreachBatch restart) is a no-op —
+    idempotency survives the MoR strategy."""
+    from pyspark.sql import functions as F
+
+    from engine.scan import scan_stats
+    from engine.streaming import ingest_batch
+    from engine.write import append
+
+    df = generate_transcripts(spark, num_convs=600)
+    t = Table.create(str(tmp_path / "tbl"))
+    append(t, df, num_files=2, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+
+    edits = (generate_transcripts(spark, num_convs=2)
+             .filter("conv_id <> 'conv-00000000'")  # skip the hot conv
+             .withColumn("text", F.concat(F.lit("edited: "), F.col("text"))))
+    n_edits = edits.count()
+    ingest_batch(spark, t, edits, batch_id=77)
+    snap = t.current_snapshot()
+    assert snap.summary.get("mor") is True, snap.summary
+    assert snap.summary["removed_files"] == 0
+    assert scan_stats(t)["delete_rows"] == n_edits
+    out = scan(spark, t)
+    assert out.filter("text like 'edited: %'").count() == n_edits
+    before = sorted_rows(out)
+
+    # replay: merge_into's checkpoint makes the same pass_id a no-op and
+    # the insert half re-splits to zero new keys
+    ingest_batch(spark, t, edits, batch_id=77)
+    assert sorted_rows(scan(spark, t)) == before
