@@ -303,6 +303,23 @@ class Table:
                 return s
         raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
 
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Time travel: the latest snapshot committed at or before
+        ``timestamp_ms`` (Iceberg's FOR TIMESTAMP AS OF). Raises KeyError
+        when every retained snapshot is newer (expired history)."""
+        best = None
+        for s in self.snapshots():
+            if s.timestamp_ms <= timestamp_ms and \
+                    (best is None or s.timestamp_ms > best.timestamp_ms
+                     or (s.timestamp_ms == best.timestamp_ms
+                         and s.snapshot_id > best.snapshot_id)):
+                best = s
+        if best is None:
+            raise KeyError(
+                f"no snapshot at or before {timestamp_ms} "
+                "(history expired?)")
+        return best
+
     def manifest_entries(self, snapshot: Snapshot | None = None,
                          content: str = "data") -> list[DataFile]:
         """Files referenced by a snapshot (its manifest list). ``content``

@@ -179,12 +179,19 @@ def prune_files(entries: list[DataFile],
 def scan(spark: SparkSession, table: Table,
          snapshot_id: int | None = None,
          predicates: list[Predicate] | None = None,
-         columns: list[str] | None = None) -> DataFrame:
+         columns: list[str] | None = None,
+         as_of_ms: int | None = None) -> DataFrame:
     """Read a pinned snapshot. File list comes ONLY from the snapshot's
     manifests (never a live directory listing), so concurrent maintenance
-    commits are invisible — snapshot isolation."""
+    commits are invisible — snapshot isolation. ``as_of_ms`` time-travels
+    to the latest snapshot committed at or before that timestamp
+    (mutually exclusive with ``snapshot_id``)."""
     snap: Snapshot | None
-    if snapshot_id is None:
+    if snapshot_id is not None and as_of_ms is not None:
+        raise ValueError("pass snapshot_id OR as_of_ms, not both")
+    if as_of_ms is not None:
+        snap = table.snapshot_as_of(as_of_ms)
+    elif snapshot_id is None:
         snap = table.current_snapshot()
     else:
         snap = table.snapshot(snapshot_id)

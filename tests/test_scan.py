@@ -74,3 +74,37 @@ def test_synth_is_partition_independent(spark):
     a = generate_transcripts(spark, num_convs=25)
     b = generate_transcripts(spark, num_convs=25).repartition(13)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_time_travel_as_of_timestamp(spark, tmp_table_root):
+    """FOR TIMESTAMP AS OF: scans pin the latest snapshot committed at or
+    before the given time — including across a merge-on-read commit, whose
+    delete files must not leak backwards in time."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from engine.merge import merge_into
+
+    df = generate_transcripts(spark, num_convs=20)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=2, range_cols=["conv_id", "turn_idx"])
+    s1 = t.current_snapshot()
+    rows_v1 = sorted([tuple(r) for r in scan(spark, t).collect()])
+
+    src = (scan(spark, t).select("conv_id", "turn_idx")
+           .orderBy("conv_id", "turn_idx").limit(3)
+           .withColumn("upd_text", F.lit("edited")))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="tt1",
+               mode="mor")
+    s2 = t.current_snapshot()
+
+    assert sorted([tuple(r) for r in
+                   scan(spark, t, as_of_ms=s1.timestamp_ms).collect()]) \
+        == rows_v1
+    at_s2 = scan(spark, t, as_of_ms=s2.timestamp_ms)
+    assert at_s2.filter("text = 'edited'").count() == 3
+    with pytest.raises(KeyError):
+        t.snapshot_as_of(s1.timestamp_ms - 10_000)
+    with pytest.raises(ValueError):
+        scan(spark, t, snapshot_id=s1.snapshot_id,
+             as_of_ms=s1.timestamp_ms)
