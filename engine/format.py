@@ -500,6 +500,7 @@ class Table:
                 "added_files": len(added),
                 "removed_files": len(removed_paths),
                 "added_rows": sum(e.record_count for e in added),
+                "added_bytes": sum(e.file_size_bytes for e in added),
                 **(summary or {}),
             },
         )

@@ -190,13 +190,8 @@ def _restat(table: Table, rel_path: str) -> DataFile:
 
 
 def _conv_overlap(a: DataFile, b: DataFile) -> bool:
-    """Conservative conv_id range overlap from manifest stats (missing
-    stats → True)."""
-    sa, sb = a.stats.get("conv_id") or {}, b.stats.get("conv_id") or {}
-    if None in (sa.get("min"), sa.get("max"), sb.get("min"), sb.get("max")):
-        return True
-    return not (str(sa["max"]) < str(sb["min"])
-                or str(sa["min"]) > str(sb["max"]))
+    from .scan import conv_overlap
+    return conv_overlap(a, b)
 
 
 def rewrite_deletes(spark: SparkSession, table: Table,

@@ -27,6 +27,16 @@ _DELETE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 MERGE_KEYS = ("conv_id", "turn_idx")
 
 
+def conv_overlap(a: DataFile, b: DataFile) -> bool:
+    """Conservative conv_id range overlap from manifest stats (missing
+    stats → True)."""
+    sa, sb = a.stats.get("conv_id") or {}, b.stats.get("conv_id") or {}
+    if None in (sa.get("min"), sa.get("max"), sb.get("min"), sb.get("max")):
+        return True
+    return not (str(sa["max"]) < str(sb["min"])
+                or str(sa["min"]) > str(sb["max"]))
+
+
 def read_with_deletes(spark: SparkSession, table: Table,
                       data_entries: list[DataFile],
                       delete_entries: list[DataFile]) -> DataFrame:
@@ -245,6 +255,87 @@ def incremental_scan(spark: SparkSession, table: Table,
     if not new_paths:
         return scan(spark, table, snapshot_id=target.snapshot_id).limit(0)
     return spark.read.parquet(*new_paths)
+
+
+def changes_between(spark: SparkSession, table: Table,
+                    from_snapshot_id: int,
+                    to_snapshot_id: int | None = None) -> DataFrame:
+    """Exact row-level CDC between two snapshots (Iceberg changelog-scan /
+    Delta CDF analog): one row per changed (conv_id, turn_idx) with
+    ``_change`` ∈ {'insert', 'update', 'delete'} and the NEW row values
+    (null payload for deletes).
+
+    Computed as a full-row-compare anti-join of the two snapshot reads —
+    correct for every commit kind (append, CoW merge, MoR merge,
+    compaction, clustering): pure layout changes (compact/cluster) diff to
+    ZERO rows because the row sets are identical. Cost is a shuffle join
+    over the files that CHANGED between the snapshots (unchanged files are
+    carried by reference and pruned from both sides before the join), so a
+    sparse MoR merge diffs in O(worklist + shadowed files), not O(table).
+    """
+    from_snap = table.snapshot(from_snapshot_id)
+    to_snap = (table.current_snapshot() if to_snapshot_id is None
+               else table.snapshot(to_snapshot_id))
+    old_data = table.manifest_entries(from_snap)
+    new_data = table.manifest_entries(to_snap)
+    old_dels = table.manifest_entries(from_snap, content="deletes")
+    new_dels = table.manifest_entries(to_snap, content="deletes")
+    old_paths = {e.path for e in old_data} | {d.path for d in old_dels}
+    new_paths = {e.path for e in new_data} | {d.path for d in new_dels}
+    changed = old_paths ^ new_paths
+    keys = list(MERGE_KEYS)
+
+    # rows from UNCHANGED data files can still change state when a DELETE
+    # file was added or removed between the snapshots — include every
+    # unchanged data file such a delete may shadow (older sequence AND
+    # overlapping conv_id range, from manifest stats), and include the SAME
+    # set on BOTH sides so untouched rows cancel in the diff instead of
+    # surfacing as phantom inserts/deletes. A targeted sparse merge's
+    # delete file has a narrow key range, so the diff stays O(worklist +
+    # shadowed files), not O(table).
+    changed_dels = [d for d in (old_dels + new_dels) if d.path in changed]
+    extra_paths = {e.path for e in old_data
+                   if e.path not in changed
+                   and any(e.sequence_number < d.sequence_number
+                           and conv_overlap(e, d) for d in changed_dels)}
+
+    def _side(data, dels):
+        picked = [e for e in data if e.path in changed
+                  or e.path in extra_paths]
+        if not picked:
+            return None
+        return read_with_deletes(spark, table, picked, dels)
+
+    old_df = _side(old_data, old_dels)
+    new_df = _side(new_data, new_dels)
+    if old_df is None and new_df is None:
+        empty = scan(spark, table, snapshot_id=to_snap.snapshot_id).limit(0)
+        return empty.withColumn("_change", F.lit("insert")).limit(0)
+    if old_df is None:
+        return new_df.withColumn("_change", F.lit("insert"))
+    if new_df is None:
+        return (old_df.select(*keys)
+                .join(scan(spark, table,
+                           snapshot_id=to_snap.snapshot_id).select(*keys),
+                      keys, "left_anti")
+                .withColumn("_change", F.lit("delete")))
+    cols = new_df.columns
+    old_k = old_df.select(*keys, F.xxhash64(*cols).alias("__h_old"))
+    new_k = new_df.select(*cols, F.xxhash64(*cols).alias("__h_new"))
+    j = new_k.join(old_k, keys, "full")
+    inserted = (j.filter(F.col("__h_old").isNull())
+                .select(*cols).withColumn("_change", F.lit("insert")))
+    updated = (j.filter(F.col("__h_old").isNotNull()
+                        & F.col("__h_new").isNotNull()
+                        & (F.col("__h_old") != F.col("__h_new")))
+               .select(*cols).withColumn("_change", F.lit("update")))
+    deleted = (j.filter(F.col("__h_new").isNull())
+               .select(*[F.col(k) for k in keys],
+                       *[F.lit(None).cast(new_df.schema[c].dataType)
+                         .alias(c) for c in cols if c not in keys])
+               .select(*cols)  # reorder to the table schema
+               .withColumn("_change", F.lit("delete")))
+    return inserted.unionByName(updated).unionByName(deleted)
 
 
 def scan_stats(table: Table, snapshot_id: int | None = None) -> dict:

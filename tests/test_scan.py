@@ -108,3 +108,53 @@ def test_time_travel_as_of_timestamp(spark, tmp_table_root):
     with pytest.raises(ValueError):
         scan(spark, t, snapshot_id=s1.snapshot_id,
              as_of_ms=s1.timestamp_ms)
+
+
+def test_changes_between_row_level_cdc(spark, tmp_table_root):
+    """Row-level CDC (Iceberg changelog / Delta CDF analog): a sparse MoR
+    merge diffs to exactly its updated rows; an append diffs to inserts;
+    pure layout changes (compaction) diff to ZERO rows; and the sparse diff
+    never scans unchanged-and-unshadowed files."""
+    from pyspark.sql import functions as F
+
+    from engine.maintain import compact
+    from engine.merge import merge_into
+    from engine.scan import changes_between
+
+    df = generate_transcripts(spark, num_convs=40)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=4, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    s1 = t.current_snapshot().snapshot_id
+
+    src = (scan(spark, t).select("conv_id", "turn_idx")
+           .orderBy("conv_id", "turn_idx").limit(3)
+           .withColumn("upd_text", F.lit("edited")))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="cdc1",
+               mode="mor")
+    s2 = t.current_snapshot().snapshot_id
+    ch = changes_between(spark, t, s1, s2)
+    rows = ch.collect()
+    assert len(rows) == 3
+    assert all(r["_change"] == "update" and r["text"] == "edited"
+               for r in rows)
+
+    # append → inserts only
+    extra = (generate_transcripts(spark, num_convs=2)
+             .withColumn("conv_id", F.concat(F.lit("zz-"),
+                                             F.col("conv_id"))))
+    n_extra = extra.count()
+    append(t, extra, num_files=1)
+    s3 = t.current_snapshot().snapshot_id
+    ch2 = changes_between(spark, t, s2, s3)
+    assert ch2.count() == n_extra
+    assert ch2.filter("_change <> 'insert'").count() == 0
+
+    # pure layout change → empty diff
+    compact(spark, t, target_bytes=1 << 30, pass_id="cdc-c")
+    s4 = t.current_snapshot().snapshot_id
+    assert changes_between(spark, t, s3, s4).count() == 0
+    # cumulative: s1 → current covers both the update and the insert
+    cum = changes_between(spark, t, s1, s4)
+    assert cum.filter("_change = 'update'").count() == 3
+    assert cum.filter("_change = 'insert'").count() == n_extra
