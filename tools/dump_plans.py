@@ -121,6 +121,23 @@ def main() -> None:
         "scheduled one driver-sequenced Spark job per group.",
         plan_of(comp_df)))
 
+    from engine.merge import merge_into
+    mor_src = (table_df.select("conv_id", "turn_idx")
+               .orderBy("conv_id", "turn_idx").limit(3)
+               .withColumn("upd_text", F.lit("edited")))
+    merge_into(spark, t, mor_src, {"text": "upd_text"}, pass_id="plans-mor",
+               mode="mor")
+    sections.append((
+        "Merge-on-read scan (delete backlog applied)",
+        "After a sparse MoR merge, the scan is a two-branch union: the bulk "
+        "branch (every data file OLDER than all delete files — the base "
+        "table) is ONE broadcast hash anti-join on the merge keys with no "
+        "input_file_name()/sequence machinery; only the tiny insert files "
+        "take the sequence-aware join (basename→seq broadcast maps, "
+        "residual seq comparison). A table with NO delete backlog plans "
+        "with no join at all (zero MoR overhead on the steady-state scan).",
+        plan_of(scan(spark, t))))
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
     with open(os.path.join(here, "BENCH", "PLANS.md"), "w") as f:
