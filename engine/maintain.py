@@ -143,8 +143,21 @@ def compact(spark: SparkSession, table: Table,
               .drop("__cmp_base", "__cmp_rep")
               .sortWithinPartitions("conv_id", "turn_idx"))
         staged = stage_dataframe(table, df)
-        if len(staged) != n:  # pragma: no cover - groups are non-empty by plan
-            raise RuntimeError(
+        if len(staged) != n:
+            if dels:
+                # a group's rows were ALL shadowed by equality deletes →
+                # its partition wrote no file and the positional
+                # part↔group alignment is broken. Recover by folding the
+                # delete backlog first (rewrite_deletes also bin-packs the
+                # shadowed files), then replan this compaction clean.
+                ckpt.abandon({"conflict": "group fully deleted; folding "
+                                          "backlog and replanning"})
+                rewrite_deletes(spark, table, target_bytes,
+                                pass_id=f"{pass_id}-fold")
+                return compact(spark, table, target_bytes,
+                               pass_id=f"{pass_id}-replan",
+                               retries=max(0, retries - 1))
+            raise RuntimeError(  # pragma: no cover - groups non-empty by plan
                 f"compaction wrote {len(staged)} files for {n} groups — "
                 "an empty group partition broke part↔group alignment")
         # parts come back sorted by part index == shuffle partition id ==

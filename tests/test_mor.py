@@ -304,3 +304,49 @@ def test_rewrite_deletes_resume_after_crash(spark, tmp_table_root, tmp_path):
     assert "delete_files" not in scan_stats(t)
     rewrite_deletes(spark, t2, pass_id="rw-clean")
     assert sorted_rows(scan(spark, t)) == sorted_rows(scan(spark, t2))
+
+
+def test_compact_handles_group_fully_deleted(spark, tmp_table_root):
+    """Adversarial fold case: a compaction group whose rows are ALL
+    shadowed by equality deletes. On this Spark version the empty group
+    partition still writes a (0-row) file, so the positional part↔group
+    alignment holds and the pass completes; rows are neither lost nor
+    resurrected, and rewrite_deletes then retires the inert backlog.
+    (compact() additionally carries a defensive replan path for engines
+    that skip empty partition files — the alignment guard.)"""
+    df = generate_transcripts(spark, num_convs=40)
+    t = Table.create(tmp_table_root)
+    # two tiny files (the compaction group) + the rest of the table
+    tiny = df.filter("conv_id in ('conv-00000010', 'conv-00000011')")
+    rest = df.filter("conv_id not in ('conv-00000010', 'conv-00000011')")
+    append(t, rest, num_files=1)
+    append(t, tiny, num_files=2, range_cols=["conv_id", "turn_idx"])
+    # MoR-update EVERY row of the tiny files with an INCOMPRESSIBLE large
+    # payload: their old versions are fully shadowed and the replacement
+    # insert file lands well above the small-file threshold (so the
+    # planned group is exactly the two dead files)
+    big_text = F.concat_ws("", *[
+        F.md5(F.concat_ws(":", "conv_id", "turn_idx", F.lit(str(i))))
+        for i in range(64)])
+    src = (tiny.select("conv_id", "turn_idx")
+           .withColumn("upd_text", big_text))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="mv",
+               mode="mor")
+    want = sorted_rows(scan(spark, t))
+    n_tiny = tiny.count()
+    assert scan(spark, t).filter("length(text) > 1000").count() == n_tiny
+
+    tiny_sizes = sorted(e.file_size_bytes for e in t.manifest_entries())
+    tb = 2 * (tiny_sizes[1] + 1)  # small = the two shadowed files only
+    planned = [e.file_size_bytes for e in t.manifest_entries()
+               if e.file_size_bytes < tb // 2]
+    assert len(planned) == 2, (planned, tiny_sizes)
+    snap = compact(spark, t, target_bytes=tb, pass_id="cr1")
+    assert snap is not None and snap.summary["added_rows"] == 0
+    assert sorted_rows(scan(spark, t)) == want
+    # the delete's victims are gone; the major compaction rewrites the
+    # (conservatively) conv-overlapping files and retires the delete file
+    rw = rewrite_deletes(spark, t, pass_id="cr2")
+    assert rw is not None
+    assert "delete_files" not in scan_stats(t)
+    assert sorted_rows(scan(spark, t)) == want
