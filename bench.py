@@ -552,6 +552,7 @@ def main() -> None:
         return
 
     from engine.session import get_spark
+    _t_bench_start = time.time()
     spark = get_spark(app="bench", master=f"local[{args.cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     qtimes = run_queries(spark, sf_dir)
@@ -632,9 +633,14 @@ def main() -> None:
         # adaptive extension: the done-bar is a max−min PAIR spread ≤ 0.1;
         # a wider spread means at least one pair was contended (the work is
         # byte-identical), so spend up to 2 extra pairs chasing a clean one
+        # — but never past the wall-clock budget (the driver's harness has
+        # a finite timeout; a recorded spread note beats a truncated run)
+        budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S",
+                                        "900"))
         extensions = 0
         while (max(_pair_effs()) - min(_pair_effs()) > 0.1
-               and extensions < 2):
+               and extensions < 2
+               and time.time() - _t_bench_start < budget_s):
             lo, hi = _one_pair(reps + extensions, j)
             j += 2
             lo_runs.append(lo)
