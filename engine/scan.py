@@ -242,8 +242,9 @@ def incremental_scan(spark: SparkSession, table: Table,
     ``to_snapshot_id`` (default: current) — Iceberg-style incremental append
     scan. For append snapshots this is exactly the new rows; for
     copy-on-write merge/compact/cluster snapshots it returns the rewritten
-    files (a superset of the changed rows — compare against the old snapshot
-    for exact row-level CDC)."""
+    files, and for merge-on-read commits the new insert files (in both
+    cases a superset of the changed rows — use ``changes_between`` for
+    exact row-level CDC)."""
     import os
     base = {e.path for e in
             table.manifest_entries(table.snapshot(from_snapshot_id))}
@@ -272,6 +273,9 @@ def changes_between(spark: SparkSession, table: Table,
     over the files that CHANGED between the snapshots (unchanged files are
     carried by reference and pruned from both sides before the join), so a
     sparse MoR merge diffs in O(worklist + shadowed files), not O(table).
+    Row equality is by 64-bit xxhash of the full row (a change is missed
+    only on a hash collision, ~2⁻⁶⁴ per changed row — the standard CDC
+    trade; diff keys themselves are exact).
     """
     from_snap = table.snapshot(from_snapshot_id)
     to_snap = (table.current_snapshot() if to_snapshot_id is None

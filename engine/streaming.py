@@ -59,9 +59,13 @@ def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
             .join(batch.select(*MERGE_KEYS), list(MERGE_KEYS), "left_semi")
         upd = batch.join(existing, list(MERGE_KEYS), "left_semi")
         ins = batch.join(existing, list(MERGE_KEYS), "left_anti")
+        n_upd = upd.count()
     else:
-        upd, ins = batch.limit(0), batch
-    n_upd = upd.count()
+        # pruning proved the batch's key domain touches no existing file:
+        # statically all-inserts — skip the update-count job entirely (a
+        # new-conversation append cadence pays one less action per batch)
+        upd, ins = None, batch
+        n_upd = 0
     if n_upd:
         src = upd.select("conv_id", "turn_idx",
                          F.col("role").alias("upd_role"),
