@@ -48,6 +48,12 @@ class CheckpointLog:
                     if not line:
                         continue
                     rec = json.loads(line)
+                    if rec["task_id"] == "__abort__":
+                        # abandon(): every record before this point belongs
+                        # to a dead attempt — a replay must REPLAN, not
+                        # resume stale staged output
+                        self._done.clear()
+                        continue
                     self._done[rec["task_id"]] = rec
 
     def is_done(self, task_id: str) -> bool:
@@ -80,14 +86,18 @@ class CheckpointLog:
                                [], [], committed=True, extra=extra or {}))
 
     def abandon(self, extra: dict | None = None) -> None:
-        """Terminate the pass WITHOUT a snapshot swap (commit conflict): the
-        ``__pass__`` record is written with ``aborted`` so the orphan sweep
-        stops protecting the pass's staged outputs (they are dead — the
-        winning concurrent commit owns the table now) and a replay with the
-        same pass_id becomes a no-op instead of re-committing stale files."""
-        self.record(TaskRecord(self.pass_id, self.op, "__pass__",
-                               [], [], committed=True,
+        """Terminate the current ATTEMPT without a snapshot swap (commit
+        conflict): an ``__abort__`` tombstone invalidates every record
+        before it, so (a) the orphan sweep stops protecting the dead
+        attempt's staged outputs (the winning concurrent commit owns the
+        table now) and (b) a replay with the same pass_id REPLANS from the
+        fresh snapshot instead of silently no-opping — a streaming batch
+        whose merge lost a race must re-merge on restart, never drop its
+        updates."""
+        self.record(TaskRecord(self.pass_id, self.op, "__abort__",
+                               [], [], committed=False,
                                extra={"aborted": True, **(extra or {})}))
+        self._done.clear()
 
     def pass_committed(self) -> bool:
         rec = self._done.get("__pass__")

@@ -419,7 +419,8 @@ class Table:
     def commit(self, operation: str, added: list[DataFile],
                removed_paths: set[str] | None = None,
                summary: dict | None = None,
-               carry_manifests: bool = True) -> Snapshot:
+               carry_manifests: bool = True,
+               expected_delete_paths: set[str] | None = None) -> Snapshot:
         """Create a new snapshot = (parent's files − removed) ∪ added.
 
         Manifests are immutable; unchanged manifests are carried over wholesale
@@ -428,11 +429,17 @@ class Table:
 
         Concurrency: the snapshot math runs under the commit lock against a
         FRESH read of the metadata, so concurrent appends compose instead of
-        losing updates."""
+        losing updates. ``expected_delete_paths`` is the set of equality-
+        delete files the writer KNEW about when it planned (rewrite passes
+        must pass it): a live delete file outside that set means a
+        concurrent merge-on-read commit shadowed rows this rewrite may have
+        copied under a fresh sequence number — committing would resurrect
+        them, so it conflicts instead (Iceberg's validateNoNewDeleteFiles)."""
         lock = self._acquire_commit_lock()
         try:
             return self._commit_locked(operation, added, removed_paths,
-                                       summary, carry_manifests)
+                                       summary, carry_manifests,
+                                       expected_delete_paths)
         finally:
             try:
                 os.unlink(lock)
@@ -442,7 +449,9 @@ class Table:
     def _commit_locked(self, operation: str, added: list[DataFile],
                        removed_paths: set[str] | None,
                        summary: dict | None,
-                       carry_manifests: bool) -> Snapshot:
+                       carry_manifests: bool,
+                       expected_delete_paths: set[str] | None = None
+                       ) -> Snapshot:
         removed_paths = removed_paths or set()
         meta = self.load_metadata()
         parent = self.current_snapshot()
@@ -466,6 +475,17 @@ class Table:
                         f"replaced by a concurrent commit (e.g. "
                         f"{sorted(gone)[:3]}); abandon staged output and "
                         "replan from the fresh snapshot")
+            if removed_paths and expected_delete_paths is not None:
+                live_dels = {e["path"] for _, ents in loaded for e in ents
+                             if e.get("content", "data") == "deletes"}
+                new_dels = live_dels - expected_delete_paths
+                if new_dels:
+                    raise CommitConflictError(
+                        f"{operation}: {len(new_dels)} equality-delete "
+                        "file(s) were committed concurrently against this "
+                        f"rewrite's inputs (e.g. {sorted(new_dels)[:3]}); "
+                        "the staged output copied rows they shadow under a "
+                        "fresh sequence number — abandon and replan")
             for mf, ents in loaded:
                 paths = {e["path"] for e in ents}
                 if carry_manifests and not (paths & removed_paths):

@@ -102,6 +102,20 @@ def compact(spark: SparkSession, table: Table,
     groups = plan_compaction(entries, target_bytes)
     if not groups:
         return None
+    # pin the equality-delete set this plan reads: a delete committed after
+    # this point shadows rows the rewrite may copy under a fresh sequence
+    # number — the commit below validates against exactly this set, and a
+    # resumed pass replays the RECORDED set (not the live one)
+    dels = table.manifest_entries(content="deletes")
+    plan_rec = ckpt.get("__plan__")
+    if plan_rec is None:
+        ckpt.record(TaskRecord(
+            pass_id, "compact", "__plan__", [], [],
+            extra={"deletes": sorted(d.path for d in dels)}))
+        expected_dels = {d.path for d in dels}
+    else:
+        expected_dels = set((plan_rec.get("extra") or {})
+                            .get("deletes", []))
     total_rows = sum(e.record_count for g in groups for e in g)
     mean_rows = total_rows / max(1, len(groups))
 
@@ -127,7 +141,6 @@ def compact(spark: SparkSession, table: Table,
         df = (spark.read.parquet(*paths)
               .withColumn("__cmp_base",
                           F.element_at(F.split(F.input_file_name(), "/"), -1)))
-        dels = table.manifest_entries(content="deletes")
         if dels:
             # merge-on-read: fold the equality deletes into the rewritten
             # groups (the compacted file takes a new sequence number, so an
@@ -179,7 +192,8 @@ def compact(spark: SparkSession, table: Table,
     try:
         snap = table.commit("compact", added=added, removed_paths=removed,
                             summary={"pass_id": pass_id,
-                                     "groups": len(groups)})
+                                     "groups": len(groups)},
+                            expected_delete_paths=expected_dels)
     except CommitConflictError:
         # lost the race: some planned input files were replaced while this
         # pass ran. Compaction's plan is derived purely from the manifest,
@@ -200,11 +214,6 @@ def _restat(table: Table, rel_path: str) -> DataFile:
     content = ("deletes" if os.path.basename(rel_path).startswith("delete-")
                else "data")
     return DataFile(rel_path, rows, size, stats, content=content)
-
-
-def _conv_overlap(a: DataFile, b: DataFile) -> bool:
-    from .scan import conv_overlap
-    return conv_overlap(a, b)
 
 
 def rewrite_deletes(spark: SparkSession, table: Table,
@@ -230,16 +239,28 @@ def rewrite_deletes(spark: SparkSession, table: Table,
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
+    from .scan import conv_overlap
     dels = table.manifest_entries(content="deletes")
     if not dels:
         return None
     data = table.manifest_entries()
     affected = [e for e in data
                 if any(e.sequence_number < d.sequence_number
-                       and _conv_overlap(e, d) for d in dels)]
+                       and conv_overlap(e, d) for d in dels)]
+    removed = {e.path for e in affected} | {d.path for d in dels}
+    expected_dels = {d.path for d in dels}
     rec = ckpt.get("rewrite")
     if rec is not None:
         staged = [_restat(table, p) for p in rec["output_files"]]
+        # replay the RECORDED plan: a delete file committed between crash
+        # and resume was never applied to the staged output — recomputing
+        # removed/expected from the live manifest would retire it unapplied
+        # (resurrection); with the recorded sets the commit validation
+        # below surfaces it as a conflict instead
+        ext = rec.get("extra") or {}
+        removed = set(ext.get("removed", removed))
+        if "deletes" in ext:
+            expected_dels = set(ext["deletes"])
     elif not affected:
         staged = []
     else:
@@ -257,14 +278,16 @@ def rewrite_deletes(spark: SparkSession, table: Table,
             input_files=[e.path for e in affected] + [d.path for d in dels],
             output_files=[e.path for e in staged],
             rows=sum(e.record_count for e in staged),
-            bytes=sum(e.file_size_bytes for e in staged)))
+            bytes=sum(e.file_size_bytes for e in staged),
+            extra={"removed": sorted(removed),
+                   "deletes": sorted(expected_dels)}))
     from .format import CommitConflictError
     try:
         snap = table.commit(
             "rewrite-deletes", added=staged,
-            removed_paths={e.path for e in affected}
-            | {d.path for d in dels},
-            summary={"pass_id": pass_id, "delete_files_folded": len(dels)})
+            removed_paths=removed,
+            summary={"pass_id": pass_id, "delete_files_folded": len(dels)},
+            expected_delete_paths=expected_dels)
     except CommitConflictError:
         ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
         raise
@@ -302,9 +325,19 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
     if total_bytes > (1 << 20):
         num_files = max(num_files, 16)
 
+    removed = set(in_paths) | {e.path for e in delete_entries}
+    expected_dels = {e.path for e in delete_entries}
     rec = ckpt.get("rewrite")
     if rec is not None:
         staged = [_restat(table, p) for p in rec["output_files"]]
+        # replay the RECORDED removal/delete sets: the staged files embody
+        # the plan as of staging time — a delete or data file committed
+        # after the crash must surface as a commit conflict, not be
+        # silently retired/kept against stale output
+        ext = rec.get("extra") or {}
+        removed = set(ext.get("removed", removed))
+        if "deletes" in ext:
+            expected_dels = set(ext["deletes"])
     else:
         from .layout import curve_bounds
         # full rewrite folds the whole merge-on-read backlog: the read
@@ -332,15 +365,16 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
             input_files=in_paths, output_files=[e.path for e in staged],
             rows=rows, bytes=sum(e.file_size_bytes for e in staged),
             skew_factor=round(max((e.record_count for e in staged), default=0)
-                              / max(1.0, mean_rows), 3)))
+                              / max(1.0, mean_rows), 3),
+            extra={"removed": sorted(removed),
+                   "deletes": sorted(expected_dels)}))
     from .format import CommitConflictError
     try:
         snap = table.commit(f"cluster-{strategy}", added=staged,
-                            removed_paths=(set(in_paths)
-                                           | {e.path
-                                              for e in delete_entries}),
+                            removed_paths=removed,
                             summary={"pass_id": pass_id,
-                                     "files": len(staged)})
+                                     "files": len(staged)},
+                            expected_delete_paths=expected_dels)
     except CommitConflictError:
         # full-table rewrite lost a race (e.g. to a merge): the staged
         # layout is stale — abandon and let the caller's next cadence
@@ -508,8 +542,15 @@ def _uncommitted_checkpoint_outputs(table: Table) -> set[str]:
         committed = any(r["task_id"] == "__pass__" and r["committed"]
                         for r in recs)
         if not committed:
+            pass_out: set[str] = set()
             for r in recs:
-                out.update(r.get("output_files", []))
+                if r["task_id"] == "__abort__":
+                    # records before an abandon() tombstone belong to a
+                    # dead attempt — their staged files are sweepable
+                    pass_out.clear()
+                    continue
+                pass_out.update(r.get("output_files", []))
+            out |= pass_out
     return out
 
 
@@ -581,7 +622,8 @@ def maintenance_metrics(spark: SparkSession, table: Table,
         table.meta_dir, "checkpoints", f"*{pass_id}*.jsonl")))
     if not paths:
         return []
-    recs = spark.read.json(paths).filter(F.col("task_id") != "__pass__")
+    recs = spark.read.json(paths).filter(
+        ~F.col("task_id").startswith("__"))  # skip __pass__/__plan__/__abort__
     rolled = (recs.rollup("op")
               .agg(F.count(F.lit(1)).alias("tasks"),
                    F.sum("rows").alias("rows"),

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from .checkpoint import CheckpointLog, TaskRecord
 from .format import DataFile, Snapshot, Table, collect_parquet_stats
 from .index import _with_context, build_candidate_index, key_families
-from .scan import Predicate, prune_files, scan
+from .scan import (MERGE_KEYS, Predicate, conv_overlap, prune_files,  # noqa: F401
+                   scan)
 from .write import range_bounds_from_entries, stage_dataframe
 
 def _tmark(label: str, t0: float) -> float:
@@ -46,7 +47,9 @@ def _tmark(label: str, t0: float) -> float:
     return now
 
 
-MERGE_KEYS = ("conv_id", "turn_idx")
+# MERGE_KEYS is canonically defined in engine.scan (the delete anti-join and
+# the delete-file writer must agree on the key set by construction) and
+# re-exported here for the callers that import it from engine.merge.
 _MAX_IN_SET = 100_000  # above this, fall back to min/max range pruning
 # auto broadcast gate: above this many source rows, let AQE pick the join
 # side instead of forcing a broadcast (at 100 TB a 1% worklist carrying
@@ -441,7 +444,14 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     affected = prune_files(entries, preds)
     affected_paths = [e.path for e in affected]
     delete_entries = table.manifest_entries(snap, content="deletes")
-    affected_dels = prune_files(delete_entries, preds)
+    # deletes relevant to the CoW rewrite are selected by OVERLAP WITH THE
+    # AFFECTED FILES, not by the source predicates: the rewrite copies
+    # WHOLE files — a delete shadowing a row outside the source's key
+    # domain but inside an affected file must still be applied, or the
+    # rewritten copy (fresh sequence number) resurrects it
+    affected_dels = [d for d in delete_entries
+                     if any(e.sequence_number < d.sequence_number
+                            and conv_overlap(e, d) for e in affected)]
     affected_rows = sum(e.record_count for e in affected)
     use_mor = (mode == "mor"
                or (mode == "auto" and curve is None and affected
@@ -467,8 +477,13 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             removed_paths = set(ext.get("removed", []))
         else:
             removed_paths = set(ext.get("removed", rec["input_files"]))
+        # the delete set KNOWN AT STAGING time — a delete committed after
+        # the crash was not applied to the staged files, and the commit
+        # validation below must catch it (legacy records: no validation)
+        expected_dels = (set(ext["deletes"]) if "deletes" in ext else None)
     elif not affected:
         staged = []
+        expected_dels = None
     elif use_mor:
         staged = _stage_mor(spark, table, snap, source, update_map,
                             broadcast_source, preds, source_bytes,
@@ -482,6 +497,7 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             bytes=sum(e.file_size_bytes for e in staged),
             skew_factor=1.0, committed=False,
             extra={"mor": True, "removed": []}))
+        expected_dels = None  # MoR removes nothing; nothing to validate
     else:
         # merge-on-read backlog: a raw file read would resurrect deleted
         # rows — the delete-applied read (seq-split fast path) prevents it.
@@ -535,7 +551,13 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             output_files=[e.path for e in staged],
             rows=rows, bytes=sum(e.file_size_bytes for e in staged),
             skew_factor=round(skew, 3), committed=False,
-            extra={"removed": sorted(removed_paths)}))
+            extra={"removed": sorted(removed_paths),
+                   "deletes": sorted(d.path for d in delete_entries)}))
+        # a delete file committed AFTER this plan was read would shadow
+        # rows the staged rewrite copied under a fresh sequence number —
+        # the commit validates against the known set (Iceberg's
+        # validateNoNewDeleteFiles)
+        expected_dels = {d.path for d in delete_entries}
 
     from .format import CommitConflictError
     try:
@@ -543,7 +565,8 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                                 removed_paths=removed_paths,
                                 summary={"pass_id": pass_id,
                                          **({"mor": True} if use_mor
-                                            else {})})
+                                            else {})},
+                                expected_delete_paths=expected_dels)
     except CommitConflictError:
         # a concurrent pass replaced our input files mid-rewrite: committing
         # would resurrect their rows through our staged copies. Abandon the

@@ -143,17 +143,16 @@ def test_merge_loses_race_to_compaction_cleanly(spark, tmp_table_root,
     on_disk = {os.path.join("data", n) for n in os.listdir(t.data_dir)}
     assert on_disk == live
 
-    # a replayed merge with the SAME pass_id is a no-op (abandoned pass);
-    # a re-planned merge succeeds — with a fresh pass_id AND a source
-    # re-derived from the fresh snapshot (the old src frame pins swept
-    # files: exactly the stale-source hazard the conflict error surfaces)
+    # a replayed merge with the SAME pass_id REPLANS after the abandon
+    # (the __abort__ tombstone invalidates the dead attempt) and succeeds
+    # against the fresh snapshot — a streaming batch that lost a race must
+    # re-merge on restart, never silently no-op and drop its updates. The
+    # source must be re-derived from the fresh snapshot (the old src frame
+    # pins swept files: the stale-source hazard the conflict surfaces).
     src2 = (scan(spark, t).select("conv_id", "turn_idx")
             .limit(50).withColumn("upd_role", F.lit("merged")))
     snap = merge_into(spark, t, src2, {"role": "upd_role"},
                       pass_id="race-merge")
-    assert scan(spark, t).filter("role = 'merged'").count() == 0
-    snap = merge_into(spark, t, src2, {"role": "upd_role"},
-                      pass_id="race-merge-2")
     assert snap.operation == "merge"
     assert scan(spark, t).filter("role = 'merged'").count() == 50
 

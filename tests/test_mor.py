@@ -350,3 +350,120 @@ def test_compact_handles_group_fully_deleted(spark, tmp_table_root):
     assert rw is not None
     assert "delete_files" not in scan_stats(t)
     assert sorted_rows(scan(spark, t)) == want
+
+
+def test_cow_merge_applies_out_of_domain_deletes(spark, tmp_table_root):
+    """Code-review regression (r4): a CoW merge must apply the deletes that
+    overlap its AFFECTED FILES, not just the ones inside its own source key
+    domain — the rewrite copies whole files under a fresh sequence number,
+    so an out-of-domain delete left unapplied would resurrect its row."""
+    df = generate_transcripts(spark, num_convs=10)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=1)  # ONE file spanning every conversation
+
+    # MoR-edit one key in conv-...05
+    k5 = (scan(spark, t).filter("conv_id = 'conv-00000005'")
+          .select("conv_id", "turn_idx").orderBy("turn_idx").limit(1)
+          .withColumn("upd_text", F.lit("edit-5")))
+    merge_into(spark, t, k5, {"text": "upd_text"}, pass_id="m5",
+               mode="mor")
+    n_total = scan(spark, t).count()
+
+    # CoW merge targeting a DIFFERENT conversation: its predicates (IN
+    # {conv-09}) do not cover the delete's key range, but the rewrite
+    # touches the whole file
+    k9 = (scan(spark, t).filter("conv_id = 'conv-00000009'")
+          .select("conv_id", "turn_idx").orderBy("turn_idx").limit(1)
+          .withColumn("upd_text", F.lit("edit-9")))
+    merge_into(spark, t, k9, {"text": "upd_text"}, pass_id="m9",
+               mode="cow")
+
+    out = scan(spark, t)
+    assert out.count() == n_total  # the shadowed c5 row did NOT resurrect
+    assert out.groupBy("conv_id", "turn_idx").count() \
+              .filter("count > 1").count() == 0
+    assert out.filter("text = 'edit-5'").count() == 1
+    assert out.filter("text = 'edit-9'").count() == 1
+
+
+def test_rewrite_race_with_new_delete_conflicts(spark, tmp_table_root,
+                                                monkeypatch):
+    """Code-review regression (r4, validateNoNewDeleteFiles): a MoR merge
+    committing a NEW delete file while a compaction is staging must make
+    the compaction's commit conflict — its staged output copied the newly
+    shadowed row under a fresh sequence number. compact() then replans
+    against the fresh snapshot and the final state is exact."""
+    import engine.maintain as maint_mod
+    from engine.maintain import compact
+
+    df = generate_transcripts(spark, num_convs=20)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=4, range_cols=["conv_id", "turn_idx"])
+
+    real_stage = maint_mod.stage_dataframe
+    fired = []
+
+    def stage_then_mor_lands(table, sdf, *a, **kw):
+        staged = real_stage(table, sdf, *a, **kw)
+        if not fired:
+            fired.append(True)
+            monkeypatch.setattr(maint_mod, "stage_dataframe", real_stage)
+            src = (scan(spark, t).select("conv_id", "turn_idx")
+                   .orderBy("conv_id", "turn_idx").limit(2)
+                   .withColumn("upd_text", F.lit("raced-edit")))
+            merge_into(spark, t, src, {"text": "upd_text"},
+                       pass_id="race-mor", mode="mor")
+        return staged
+
+    monkeypatch.setattr(maint_mod, "stage_dataframe", stage_then_mor_lands)
+    compact(spark, t, target_bytes=1 << 30, pass_id="race-cp")
+
+    out = scan(spark, t)
+    assert out.filter("text = 'raced-edit'").count() == 2  # edit survived
+    assert out.count() == df.count()  # no resurrection, no loss
+    assert out.groupBy("conv_id", "turn_idx").count() \
+              .filter("count > 1").count() == 0
+
+
+def test_rewrite_deletes_resume_sees_new_delete_as_conflict(
+        spark, tmp_table_root):
+    """Code-review regression (r4): rewrite_deletes crashes after staging;
+    a NEW MoR delete lands before the resume. The resume replays the
+    RECORDED removal/delete sets, so the commit must CONFLICT (the staged
+    output never applied the new delete) instead of retiring it unapplied;
+    a fresh pass then folds everything."""
+    import pytest
+
+    from engine.format import CommitConflictError
+
+    t, df = _setup(spark, tmp_table_root)
+    merge_into(spark, t, _sparse_source(spark, t, tag="gen0"),
+               {"text": "upd_text"}, pass_id="m0", mode="mor")
+
+    real_commit = Table.commit
+
+    def exploding_commit(self, *a, **k):
+        raise RuntimeError("simulated crash before snapshot swap")
+
+    Table.commit = exploding_commit
+    try:
+        try:
+            rewrite_deletes(spark, t, pass_id="rwc")
+        except RuntimeError:
+            pass
+    finally:
+        Table.commit = real_commit
+
+    # a new sparse merge lands between crash and resume
+    merge_into(spark, t, _sparse_source(spark, t, tag="gen1"),
+               {"text": "upd_text"}, pass_id="m1", mode="mor")
+    want = sorted_rows(scan(spark, t))
+
+    with pytest.raises(CommitConflictError):
+        rewrite_deletes(spark, t, pass_id="rwc")
+    assert sorted_rows(scan(spark, t)) == want  # nothing committed
+
+    snap = rewrite_deletes(spark, t, pass_id="rwc-fresh")
+    assert snap is not None
+    assert "delete_files" not in scan_stats(t)
+    assert sorted_rows(scan(spark, t)) == want
