@@ -497,6 +497,10 @@ overlapping files (conv-range pruning on manifest stats).
   worklist provably spans the table
 - estimation fallbacks folded into the candidate index as two extra key
   families (no dedicated pipelines/broadcasts)
+- sparse merges go MERGE-ON-READ (equality-delete + insert files, auto
+  below 0.5% of affected rows): O(worklist) bytes committed instead of
+  whole-file rewrites; scans apply the backlog via one seq-split anti-join
+  and the maintenance cadence folds it back (see the MoR economics above)
 
 ## vs the reference's single-node numbers
 

@@ -583,6 +583,11 @@ def _sweep_distributed(spark: SparkSession, table: Table,
                     .select(F.explode("entries.path").alias("path")))
     ckpt_glob = os.path.join(table.meta_dir, "checkpoints", "*.jsonl")
     if globlib.glob(ckpt_glob):
+        # NOTE: unlike the local sweep, this path does not reconstruct the
+        # __abort__ tombstone ordering (JSON lines carry no order Spark can
+        # rely on), so an abandoned attempt's staged outputs stay protected
+        # until the pass finalizes — conservative in the safe direction
+        # (files linger, never vanish under a live writer)
         ck = spark.read.json(ckpt_glob).withColumn("f", F.input_file_name())
         committed = (ck.filter((F.col("task_id") == "__pass__")
                                & F.col("committed"))
