@@ -590,8 +590,12 @@ def impute_merge(spark: SparkSession, table: Table,
                  stats_out: dict | None = None,
                  curve: str | None = None) -> Snapshot:
     """The flagship maintenance stage: scan → candidate index → planned
-    updates → copy-on-write MERGE. One wide shuffle (conv windows), one
-    index aggregation, one probe join, one CoW rewrite.
+    updates → MERGE. One wide shuffle (conv windows), one index
+    aggregation, one probe join, one rewrite — copy-on-write for the
+    normal ~1% full-table worklist (fused with clustering when ``curve``
+    is set); a TARGETED sparse worklist (missing cells confined to a few
+    conversations) auto-selects merge-on-read and commits O(worklist)
+    bytes instead.
 
     ``stats_out`` (optional dict) receives the hot-conversation skew report
     (engine.skew.hot_keys) computed from the already-persisted context frame

@@ -1,8 +1,11 @@
 """Driver-contract entries for the training-data ops (dedup, similarity,
 text analysis, multimodal plumbing) — registered into engine.queries.
 
-Oracle-less entries (driver records a rows-only check): simhash blocks and
-LSH ANN (seeded-hyperplane UDFs have no SQL equivalent), winnowing.
+All entries carry EXACT DuckDB oracles as of round 3: simhash replays via
+md5_number_upper, the LSH ANN embeds its md5-derived hyperplanes as SQL
+literals, winnowing replays the k-gram/window pipeline in list
+comprehensions, and (round 4) the connected-components closure replays as
+a recursive reachability CTE.
 """
 
 from __future__ import annotations
