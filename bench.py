@@ -351,7 +351,7 @@ def write_baseline_md(sf: float, lo: dict, hi: dict, full: dict,
                 "mor_delete_files", "rewrite_deletes_s", "expire_sweep_s",
                 "orphans_removed", "scan_s", "total_s", "rows_per_sec"]
         steady_table = "\n".join(
-            f"| {k} | {s_lo.get(k, '—')} | {s_hi.get(k, '—')} |"
+            f"| {k} | {(s_lo or {}).get(k, '—')} | {s_hi.get(k, '—')} |"
             for k in keys)
     else:
         steady_table = "| (steady leg not run) | | |"
@@ -640,11 +640,17 @@ def main() -> None:
         # — but never past the wall-clock budget (the driver's harness has
         # a finite timeout; a recorded spread note beats a truncated run)
         budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S",
-                                        "900"))
+                                        "1080"))
+        # predictive check (elapsed + one more pair's cost must fit) so an
+        # extension pair is only started when it can finish inside the
+        # budget — r4's driver run burned its budget mid-protocol and got
+        # only 1 of 2 extensions
+        pair_wall = ((lo_runs[-1]["total_s"] + hi_runs[-1]["total_s"]) * 1.3
+                     + 10)
         extensions = 0
         while (max(_pair_effs()) - min(_pair_effs()) > 0.1
                and extensions < 2
-               and time.time() - _t_bench_start < budget_s):
+               and time.time() - _t_bench_start + pair_wall < budget_s):
             lo, hi = _one_pair(reps + extensions, j)
             j += 2
             lo_runs.append(lo)
@@ -655,10 +661,15 @@ def main() -> None:
         full = (lo_runs[0] if args.cpus <= n_lo
                 else _run_sub(args.cpus, num_convs, work_dir, pristine)
                 if args.cpus > n_hi else hi_runs[0])
-        steady_lo = _run_sub(n_lo, num_convs, work_dir, pristine,
-                             phase="steady", cpu_offset=_off(j)); j += 1
+        # steady-state ops leg: 4N always; the N width only when the budget
+        # still has a pair's worth of headroom (a parsed headline beats a
+        # perfect two-width steady table — VERDICT r4 task #6)
         steady_hi = _run_sub(n_hi, num_convs, work_dir, pristine,
                              phase="steady", cpu_offset=_off(j)); j += 1
+        steady_lo = None
+        if time.time() - _t_bench_start + pair_wall < budget_s:
+            steady_lo = _run_sub(n_lo, num_convs, work_dir, pristine,
+                                 phase="steady", cpu_offset=_off(j)); j += 1
         shutil.rmtree(pristine, ignore_errors=True)
 
         def _median(vals: list[float]) -> float:
@@ -679,7 +690,7 @@ def main() -> None:
         # cores add contention, not capacity (see BENCH/BASELINE.md), and a
         # real operator would deploy at the knee, not the max
         result["value"] = max(full["turns_per_sec"], best_4n)
-        result["scaling"] = {
+        scaling_full = {
             "throughput_n": best_n,
             "throughput_4n": best_4n,
             "n_cores": n_lo, "4n_cores": n_hi,
@@ -720,11 +731,38 @@ def main() -> None:
             "extensions": extensions,
             "turns": hi["turns"],
         }
-        result["maintenance_ops"] = {"n": steady_lo, "4n": steady_hi}
+        # the driver captures only the TAIL of stdout (~2000 chars): the
+        # r4 final line — with per-pair samples, protocol prose, and the
+        # nested steady-state dicts — outgrew that window and BENCH_r04.json
+        # recorded parsed:null. The printed line carries ONLY the headline
+        # fields; the full audit record (samples, pairs, protocol,
+        # maintenance_ops, per-run stage marks) goes to
+        # BENCH/bench_local.json, referenced by the `detail` pointer.
+        here = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        full_record = dict(result)
+        full_record["scaling"] = scaling_full
+        full_record["maintenance_ops"] = {"4n": steady_hi,
+                                          **({"n": steady_lo}
+                                             if steady_lo else {})}
+        with open(os.path.join(here, "BENCH", "bench_local.json"), "w") as f:
+            json.dump(full_record, f, indent=1)
+        compact_keys = ["efficiency", "efficiency_best", "pair_spread",
+                        "throughput_n", "throughput_4n", "throughput_full",
+                        "n_cores", "4n_cores", "full_cores",
+                        "efficiency_8_32", "reps", "extensions", "turns"]
+        result["scaling"] = {k: scaling_full[k] for k in compact_keys}
+        result["detail"] = "BENCH/bench_local.json"
         write_baseline_md(sf, lo, hi, full, args.cpus, eff_median_pair,
                           pair_effs, steady=(steady_lo, steady_hi),
                           spread=spread)
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 1900:  # hard guard: never outgrow the tail window again
+        result.pop("detail", None)
+        for k in ("efficiency_8_32", "full_cores", "reps"):
+            result.get("scaling", {}).pop(k, None)
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

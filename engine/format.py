@@ -420,7 +420,8 @@ class Table:
                removed_paths: set[str] | None = None,
                summary: dict | None = None,
                carry_manifests: bool = True,
-               expected_delete_paths: set[str] | None = None) -> Snapshot:
+               expected_delete_paths: set[str] | None = None,
+               conflict_key_ranges: list[DataFile] | None = None) -> Snapshot:
         """Create a new snapshot = (parent's files − removed) ∪ added.
 
         Manifests are immutable; unchanged manifests are carried over wholesale
@@ -434,12 +435,22 @@ class Table:
         must pass it): a live delete file outside that set means a
         concurrent merge-on-read commit shadowed rows this rewrite may have
         copied under a fresh sequence number — committing would resurrect
-        them, so it conflicts instead (Iceberg's validateNoNewDeleteFiles)."""
+        them, so it conflicts instead (Iceberg's validateNoNewDeleteFiles).
+
+        ``conflict_key_ranges`` (serializable isolation for merge-on-read
+        commits, which remove nothing and so skip both checks above): a
+        list of this commit's staged equality-delete files — if a
+        concurrently committed delete file OUTSIDE ``expected_delete_paths``
+        overlaps any of their conv_id ranges (conservative manifest-stats
+        overlap), the two merges may have updated the same keys and
+        last-sequence-wins would silently revert the earlier one, so this
+        commit conflicts instead of committing."""
         lock = self._acquire_commit_lock()
         try:
             return self._commit_locked(operation, added, removed_paths,
                                        summary, carry_manifests,
-                                       expected_delete_paths)
+                                       expected_delete_paths,
+                                       conflict_key_ranges)
         finally:
             try:
                 os.unlink(lock)
@@ -450,7 +461,8 @@ class Table:
                        removed_paths: set[str] | None,
                        summary: dict | None,
                        carry_manifests: bool,
-                       expected_delete_paths: set[str] | None = None
+                       expected_delete_paths: set[str] | None = None,
+                       conflict_key_ranges: list[DataFile] | None = None
                        ) -> Snapshot:
         removed_paths = removed_paths or set()
         meta = self.load_metadata()
@@ -486,6 +498,38 @@ class Table:
                         f"rewrite's inputs (e.g. {sorted(new_dels)[:3]}); "
                         "the staged output copied rows they shadow under a "
                         "fresh sequence number — abandon and replan")
+            if conflict_key_ranges and expected_delete_paths is not None:
+                # serializable merge-on-read: conflict when a concurrent
+                # commit landed a delete file whose conv_id range overlaps
+                # this commit's staged deletes (conservative: missing stats
+                # count as overlap — more conflicts, never a silent revert)
+                def _rng(stats: dict | None) -> tuple | None:
+                    s = (stats or {}).get("conv_id") or {}
+                    if s.get("min") is None or s.get("max") is None:
+                        return None
+                    return (str(s["min"]), str(s["max"]))
+
+                ours = [_rng(r.stats) for r in conflict_key_ranges]
+                clash = []
+                for _, ents in loaded:
+                    for e in ents:
+                        if (e.get("content", "data") != "deletes"
+                                or e["path"] in expected_delete_paths):
+                            continue
+                        theirs = _rng(e.get("stats"))
+                        if any(o is None or theirs is None
+                               or not (o[1] < theirs[0] or o[0] > theirs[1])
+                               for o in ours):
+                            clash.append(e["path"])
+                if clash:
+                    raise CommitConflictError(
+                        f"{operation}: serializable isolation — "
+                        f"{len(clash)} equality-delete file(s) committed "
+                        "concurrently overlap this merge's key range (e.g. "
+                        f"{sorted(clash)[:3]}); last-sequence-wins would "
+                        "silently revert one merge's updates — abandon, "
+                        "re-derive the source from the fresh snapshot, and "
+                        "replay")
             for mf, ents in loaded:
                 paths = {e["path"] for e in ents}
                 if carry_manifests and not (paths & removed_paths):

@@ -157,7 +157,10 @@ def compact(spark: SparkSession, table: Table,
               .sortWithinPartitions("conv_id", "turn_idx"))
         staged = stage_dataframe(table, df)
         if len(staged) != n:
-            if dels:
+            # retries-gated like the commit-conflict handler below: a
+            # concurrent MoR merge landing a fresh delete before every
+            # replan would otherwise recurse unbounded
+            if dels and retries > 0:
                 # a group's rows were ALL shadowed by equality deletes →
                 # its partition wrote no file and the positional
                 # part↔group alignment is broken. Recover by folding the
@@ -169,10 +172,11 @@ def compact(spark: SparkSession, table: Table,
                                 pass_id=f"{pass_id}-fold")
                 return compact(spark, table, target_bytes,
                                pass_id=f"{pass_id}-replan",
-                               retries=max(0, retries - 1))
-            raise RuntimeError(  # pragma: no cover - groups non-empty by plan
+                               retries=retries - 1)
+            raise RuntimeError(
                 f"compaction wrote {len(staged)} files for {n} groups — "
-                "an empty group partition broke part↔group alignment")
+                "an empty group partition broke part↔group alignment"
+                + (" (replan retries exhausted)" if dels else ""))
         # parts come back sorted by part index == shuffle partition id ==
         # plan position (the representative construction guarantees it)
         for j, (i, group) in enumerate(todo):
@@ -268,7 +272,8 @@ def rewrite_deletes(spark: SparkSession, table: Table,
         df = read_with_deletes(spark, table, affected, dels)
         in_bytes = sum(e.file_size_bytes for e in affected)
         num_files = max(1, round(in_bytes / target_bytes))
-        bounds = range_bounds_from_entries(affected, num_files, "conv_id")
+        bounds = range_bounds_from_entries(affected, num_files, "conv_id",
+                                           turn_col="turn_idx")
         staged = stage_dataframe(table, df, num_files=num_files,
                                  range_cols=["conv_id", "turn_idx"],
                                  sort_cols=["conv_id", "turn_idx"],
@@ -288,6 +293,81 @@ def rewrite_deletes(spark: SparkSession, table: Table,
             removed_paths=removed,
             summary={"pass_id": pass_id, "delete_files_folded": len(dels)},
             expected_delete_paths=expected_dels)
+    except CommitConflictError:
+        ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
+        raise
+    ckpt.finalize({"snapshot_id": snap.snapshot_id})
+    return snap
+
+
+def compact_deletes(spark: SparkSession, table: Table,
+                    pass_id: str | None = None) -> Snapshot | None:
+    """Minor compaction of the merge-on-read delete backlog (VERDICT r4
+    task #2): fold every equality-delete file into ONE, with each row's
+    ORIGINAL sequence number materialized as a ``__delete_seq`` column.
+
+    Why it matters: every sparse MoR merge adds one tiny delete file and
+    ``scan()`` opens ALL of them on every delete-applied read — a month of
+    hourly sparse merges is ~720 tiny parquet reads per scan until the
+    (expensive, data-rewriting) ``rewrite_deletes`` cadence fires. This
+    pass is metadata-cheap: it reads/writes only the delete files
+    (O(worklist) bytes), touches no data file, and drops the per-scan file
+    count back to 1.
+
+    Semantics: the folded FILE takes the fold commit's sequence number, so
+    without the row column its deletes would suddenly shadow data files
+    newer than the original merges (including their own MoR insert files —
+    resurrection's dual, wrongful deletion). The row-level ``__delete_seq``
+    preserves each delete's original applies-to-strictly-smaller-seq
+    window: ``delete_rows_with_seq`` prefers it wherever deletes are read,
+    and the scan fast-path split keys off its manifest min
+    (``engine.scan.delete_min_seq``). Stacked generations on one key keep
+    only the max sequence (shadowing a superset — exactly last-wins).
+
+    Reference anchor: the per-run cell-grain worklist CSV the reference
+    accumulates (``codes/utils/inject_missing_values.py:23``) — here the
+    accumulated worklists are folded into one deduplicated file."""
+    from .merge import _adopt_crashed_commit
+    from .scan import _DELETE_SEQ_COL, MERGE_KEYS, delete_rows_with_seq
+    pass_id = pass_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointLog(table.root, pass_id, "compact-deletes")
+    if ckpt.pass_committed():
+        return table.current_snapshot()
+    adopted = _adopt_crashed_commit(table, ckpt, pass_id)
+    if adopted is not None:
+        return adopted
+    dels = table.manifest_entries(content="deletes")
+    if len(dels) <= 1:
+        return None
+    removed = {d.path for d in dels}
+    rec = ckpt.get("fold")
+    if rec is not None:
+        staged = [_restat(table, p) for p in rec["output_files"]]
+        removed = set((rec.get("extra") or {}).get("removed", removed))
+    else:
+        df = (delete_rows_with_seq(spark, table, dels)
+              .groupBy(*MERGE_KEYS)
+              .agg(F.max(_DELETE_SEQ_COL).alias(_DELETE_SEQ_COL)))
+        staged = stage_dataframe(table, df, num_files=1,
+                                 sort_cols=list(MERGE_KEYS),
+                                 content="deletes")
+        ckpt.record(TaskRecord(
+            pass_id, "compact-deletes", "fold",
+            input_files=sorted(removed),
+            output_files=[e.path for e in staged],
+            rows=sum(e.record_count for e in staged),
+            bytes=sum(e.file_size_bytes for e in staged),
+            extra={"removed": sorted(removed)}))
+    from .format import CommitConflictError
+    try:
+        # removed_paths non-empty → the commit's liveness validation runs:
+        # a concurrent rewrite_deletes/compact that retired one of our
+        # input delete files conflicts here instead of being resurrected
+        # by the folded copy
+        snap = table.commit("compact-deletes", added=staged,
+                            removed_paths=removed,
+                            summary={"pass_id": pass_id,
+                                     "delete_files_folded": len(removed)})
     except CommitConflictError:
         ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
         raise

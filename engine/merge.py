@@ -315,9 +315,16 @@ def _stage_mor(spark: SparkSession, table: Table, snap, source: DataFrame,
     ins = stage_dataframe(table, rows, num_files=nf,
                           sort_cols=list(MERGE_KEYS))
     if not any(e.record_count for e in ins):
-        # nothing matched: commit the (empty) insert only — an empty delete
-        # file would be pure metadata noise
-        return ins
+        # nothing matched: drop the zero-row staged files and make the
+        # commit a clean no-op snapshot — empty data-file manifest entries
+        # (and an empty delete file) would be pure metadata noise that every
+        # later scan/compaction pays to list
+        for e in ins:
+            try:
+                os.remove(os.path.join(table.root, e.path))
+            except OSError:
+                pass
+        return []
     del_keys = spark.read.parquet(
         *[os.path.join(table.root, e.path) for e in ins]) \
         .select(*MERGE_KEYS)
@@ -353,7 +360,8 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                curve: str | None = None,
                curve_bounds_list: list | None = None,
                ts_bounds: tuple[int, int] | None = None,
-               mode: str = "auto") -> Snapshot:
+               mode: str = "auto",
+               isolation: str = "snapshot") -> Snapshot:
     """MERGE INTO table USING source ON (conv_id, turn_idx)
     WHEN MATCHED THEN UPDATE SET col = coalesce(source.upd_col, col).
 
@@ -392,12 +400,18 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     instead of double-committing.
 
     Concurrency note: CoW merges validate their inputs on commit
-    (CommitConflictError); a MoR merge removes no files, so two concurrent
-    sparse merges both commit and the LATER sequence number wins on any
-    overlapping key — snapshot-isolation semantics, like Iceberg equality
-    deletes.
+    (CommitConflictError); a MoR merge removes no files, so under the
+    default ``isolation='snapshot'`` two concurrent sparse merges both
+    commit and the LATER sequence number wins on any overlapping key —
+    snapshot-isolation semantics, like Iceberg equality deletes. Pass
+    ``isolation='serializable'`` to make a MoR merge CONFLICT instead when
+    a concurrent commit landed a delete file overlapping its key range
+    (conservative conv_id-range check on manifest stats): the loser gets a
+    CommitConflictError and must re-derive its source from the fresh
+    snapshot, never a silent revert.
     """
     assert mode in ("auto", "cow", "mor")
+    assert isolation in ("snapshot", "serializable")
     if mode == "mor" and curve is not None:
         raise ValueError("fused clustering (curve=) is a full rewrite — "
                          "incompatible with merge-on-read mode")
@@ -489,6 +503,7 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                             broadcast_source, preds, source_bytes,
                             target_bytes, n_src)
         t0 = _tmark("merge.mor_stage", t0)
+        serial = isolation == "serializable"
         ckpt.record(TaskRecord(
             pass_id, "merge", "rewrite",
             input_files=affected_paths,
@@ -496,8 +511,15 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             rows=sum(e.record_count for e in staged),
             bytes=sum(e.file_size_bytes for e in staged),
             skew_factor=1.0, committed=False,
-            extra={"mor": True, "removed": []}))
-        expected_dels = None  # MoR removes nothing; nothing to validate
+            extra={"mor": True, "removed": [],
+                   **({"deletes": sorted(d.path for d in delete_entries),
+                       "serializable": True} if serial else {})}))
+        # snapshot isolation: MoR removes nothing → nothing to validate.
+        # serializable: validate against the planning snapshot's delete set
+        # so a concurrent overlapping merge conflicts instead of silently
+        # losing last-sequence-wins.
+        expected_dels = ({d.path for d in delete_entries} if serial
+                         else None)
     else:
         # merge-on-read backlog: a raw file read would resurrect deleted
         # rows — the delete-applied read (seq-split fast path) prevents it.
@@ -535,7 +557,8 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             staged = stage_dataframe(table, out)
         else:
             bounds = range_bounds_from_entries(affected, num_files,
-                                               "conv_id")
+                                               "conv_id",
+                                               turn_col="turn_idx")
             staged = stage_dataframe(table, out, num_files=num_files,
                                      range_cols=list(MERGE_KEYS),
                                      sort_cols=list(MERGE_KEYS),
@@ -560,13 +583,16 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
         expected_dels = {d.path for d in delete_entries}
 
     from .format import CommitConflictError
+    mor_key_ranges = ([e for e in staged if e.content == "deletes"]
+                      if use_mor and expected_dels is not None else None)
     try:
         new_snap = table.commit("merge", added=staged,
                                 removed_paths=removed_paths,
                                 summary={"pass_id": pass_id,
                                          **({"mor": True} if use_mor
                                             else {})},
-                                expected_delete_paths=expected_dels)
+                                expected_delete_paths=expected_dels,
+                                conflict_key_ranges=mor_key_ranges)
     except CommitConflictError:
         # a concurrent pass replaced our input files mid-rewrite: committing
         # would resurrect their rows through our staged copies. Abandon the

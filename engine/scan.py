@@ -25,6 +25,10 @@ from .format import DataFile, Snapshot, Table
 # 100 TB an un-compacted month of deletes must not be forced driver-side
 _DELETE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 MERGE_KEYS = ("conv_id", "turn_idx")
+# column materialized by compact_deletes: a folded delete row's ORIGINAL
+# sequence number (the folded FILE carries the fold commit's sequence, which
+# must not change which data files the row shadows)
+_DELETE_SEQ_COL = "__delete_seq"
 
 
 def conv_overlap(a: DataFile, b: DataFile) -> bool:
@@ -37,12 +41,51 @@ def conv_overlap(a: DataFile, b: DataFile) -> bool:
                 or str(sa["min"]) > str(sb["max"]))
 
 
+def delete_min_seq(d: DataFile) -> int:
+    """The smallest sequence number any delete ROW in this file can carry:
+    a file written by ``compact_deletes`` materializes each row's original
+    sequence in a ``__delete_seq`` column (its manifest min is authoritative
+    — the file's own sequence number is the FOLD commit's, which is later
+    than every row it carries); a raw merge-written delete file's rows all
+    share the file's sequence number."""
+    st = (d.stats or {}).get(_DELETE_SEQ_COL) or {}
+    mn = st.get("min")
+    return int(mn) if mn is not None else d.sequence_number
+
+
+def delete_rows_with_seq(spark: SparkSession, table: Table,
+                         delete_entries: list[DataFile]) -> DataFrame:
+    """The merge keys + effective sequence of every equality-delete row:
+    the materialized ``__delete_seq`` column when the file was written by
+    ``compact_deletes``, else the file's own sequence number (broadcast
+    basename→seq map joined on ``input_file_name()`` — no per-file plan)."""
+    dseq_rows = [(os.path.basename(e.path), e.sequence_number)
+                 for e in delete_entries]
+    dseq_map = F.broadcast(spark.createDataFrame(
+        dseq_rows, "__mor_b string, __mor_fseq long"))
+    reader = spark.read
+    if any(_DELETE_SEQ_COL in (e.stats or {}) for e in delete_entries):
+        # mixed backlog (a folded file + raw post-fold merges): the raw
+        # files lack the column — schema-merge nulls it, coalesce below
+        # falls back to the file-level sequence. Delete files are tiny, so
+        # the footer-merge cost is noise.
+        reader = reader.option("mergeSchema", "true")
+    raw = (reader.parquet(*[os.path.join(table.root, e.path)
+                            for e in delete_entries])
+           .withColumn("__mor_b", F.element_at(
+               F.split(F.input_file_name(), "/"), -1))
+           .join(dseq_map, "__mor_b"))
+    seq = (F.coalesce(F.col(_DELETE_SEQ_COL), F.col("__mor_fseq"))
+           if _DELETE_SEQ_COL in raw.columns else F.col("__mor_fseq"))
+    return raw.select(*MERGE_KEYS, seq.alias(_DELETE_SEQ_COL))
+
+
 def read_with_deletes(spark: SparkSession, table: Table,
                       data_entries: list[DataFile],
                       delete_entries: list[DataFile]) -> DataFrame:
     """Delete-applied read of ``data_entries``, split by sequence number:
 
-    files OLDER than every delete file (the overwhelming bulk — the base
+    files OLDER than every delete row (the overwhelming bulk — the base
     table) need no per-row sequence tagging at all, because every delete
     applies to them unconditionally → ONE plain broadcast anti-join on the
     merge keys (hash probe on two columns, no input_file_name() string
@@ -53,16 +96,15 @@ def read_with_deletes(spark: SparkSession, table: Table,
     if not delete_entries:
         return spark.read.parquet(*[os.path.join(table.root, e.path)
                                     for e in data_entries])
-    min_del = min(d.sequence_number for d in delete_entries)
+    min_del = min(delete_min_seq(d) for d in delete_entries)
     old = [e for e in data_entries if e.sequence_number < min_del]
     new = [e for e in data_entries if e.sequence_number >= min_del]
     parts = []
     if old:
         df_old = spark.read.parquet(*[os.path.join(table.root, e.path)
                                       for e in old])
-        dels = (spark.read.parquet(
-            *[os.path.join(table.root, d.path) for d in delete_entries])
-            .select(*MERGE_KEYS))
+        dels = (delete_rows_with_seq(spark, table, delete_entries)
+                .select(*MERGE_KEYS))
         if sum(d.file_size_bytes for d in delete_entries) \
                 <= _DELETE_BROADCAST_MAX_BYTES:
             dels = F.broadcast(dels)
@@ -109,17 +151,9 @@ def apply_equality_deletes(spark: SparkSession, table: Table, df: DataFrame,
         seq_rows, "__mor_b string, __mor_seq long"))
     df = df.join(seq_map, df[base_col] == F.col("__mor_b"), "left") \
            .drop("__mor_b")
-    dseq_rows = [(os.path.basename(e.path), e.sequence_number)
-                 for e in delete_entries]
-    dseq_map = F.broadcast(spark.createDataFrame(
-        dseq_rows, "__mor_b string, __mor_dseq long"))
-    dels = (spark.read.parquet(*[os.path.join(table.root, e.path)
-                                 for e in delete_entries])
-            .withColumn("__mor_b", F.element_at(
-                F.split(F.input_file_name(), "/"), -1))
-            .join(dseq_map, "__mor_b")
+    dels = (delete_rows_with_seq(spark, table, delete_entries)
             .select(*[F.col(k).alias(f"__mor_{k}") for k in MERGE_KEYS],
-                    "__mor_dseq"))
+                    F.col(_DELETE_SEQ_COL).alias("__mor_dseq")))
     if sum(e.file_size_bytes for e in delete_entries) \
             <= _DELETE_BROADCAST_MAX_BYTES:
         dels = F.broadcast(dels)

@@ -72,25 +72,51 @@ def partition_reps(num_buckets: int) -> list[int]:
     return reps  # type: ignore[return-value]
 
 
-def bucket_expr(col: Column, bounds: list) -> Column:
+def bucket_expr(col: Column | list[Column], bounds: list) -> Column:
     """Partition id in [0, len(bounds)] for a sorted boundary list: a
     balanced CASE tree (binary search, pure codegen). pid p holds rows with
-    bounds[p-1] <= col < bounds[p]."""
+    bounds[p-1] <= row < bounds[p].
+
+    A boundary is either a scalar (compared against the first column) or a
+    composite ``(conv, turn)`` tuple compared lexicographically against the
+    first TWO columns — how an oversized single-conversation run is split
+    across partitions (the hot-conversation straggler bound)."""
+    cols = list(col) if isinstance(col, (list, tuple)) else [col]
+
+    def lt(b) -> Column:
+        if isinstance(b, tuple):
+            bc, bt = b
+            return ((cols[0] < F.lit(bc))
+                    | ((cols[0] == F.lit(bc)) & (cols[1] < F.lit(bt))))
+        return cols[0] < F.lit(b)
+
     def build(lo: int, hi: int) -> Column:
         if lo == hi:
             return F.lit(lo)
         mid = (lo + hi) // 2
-        return (F.when(col < F.lit(bounds[mid]), build(lo, mid))
-                .otherwise(build(mid + 1, hi)))
+        return F.when(lt(bounds[mid]), build(lo, mid)) \
+                .otherwise(build(mid + 1, hi))
     return build(0, len(bounds))
 
 
 def range_bounds_from_entries(entries: list[DataFile], num_files: int,
-                              col: str = "conv_id") -> list | None:
+                              col: str = "conv_id",
+                              turn_col: str | None = None) -> list | None:
     """Row-balanced range boundaries for ``col`` derived from manifest
     min/max stats — O(files) driver work, no data read, deterministic at
     every parallelism level. Returns None if any file lacks stats (caller
-    falls back to sampling)."""
+    falls back to sampling).
+
+    With ``turn_col`` (VERDICT r4 task #3): a single conversation bigger
+    than the per-file row target — which conv-only boundaries would land
+    whole in ONE shuffle partition / oversized output file, the straggler —
+    is split by COMPOSITE ``(conv, turn)`` boundaries. The intra-
+    conversation cut points come from the manifest too: a single-conv file
+    is cut at turn positions interpolated from its turn min/max stats
+    (turn_idx is dense per conversation, per the table schema), and a run
+    of same-conv files is cut at each file's turn min. No data is read;
+    scalar boundaries are emitted everywhere the conv key alone suffices,
+    so the default output is byte-identical to the turn-free form."""
     if num_files <= 1:
         return []
     stats = []
@@ -98,19 +124,48 @@ def range_bounds_from_entries(entries: list[DataFile], num_files: int,
         st = e.stats.get(col) or {}
         if st.get("min") is None:
             return None
-        stats.append((str(st["min"]), e.record_count))
-    stats.sort()
-    total = sum(n for _, n in stats)
+        tst = (e.stats.get(turn_col) or {}) if turn_col else {}
+        stats.append((str(st["min"]), str(st.get("max") or st["min"]),
+                      tst.get("min"), tst.get("max"), e.record_count))
+    stats.sort(key=lambda s: (s[0], s[2] if s[2] is not None else 0))
+    total = sum(s[4] for s in stats)
     if total == 0:
         return []
     per = total / num_files
-    bounds: list[str] = []
+
+    def _key(b) -> tuple:
+        return (b[0], b[1]) if isinstance(b, tuple) else (b, float("-inf"))
+
+    bounds: list = []
     cum = 0
-    for mn, n in stats:
+    prev_mx: str | None = None
+    for mn, mx, tmn, tmx, n in stats:
         if cum >= per * (len(bounds) + 1) and len(bounds) < num_files - 1:
-            if not bounds or mn > bounds[-1]:
-                bounds.append(mn)
+            cand: str | tuple = mn
+            if (turn_col and tmn is not None
+                    and prev_mx is not None and prev_mx >= mn):
+                # the conversation continues across the file break (a run of
+                # same-conv files): a conv-only boundary here would split
+                # NOTHING (or mid-conv, wrongly) — cut at this file's turn
+                # start instead
+                cand = (mn, int(tmn))
+            if not bounds or _key(cand) > _key(bounds[-1]):
+                bounds.append(cand)
+        if (turn_col and mn == mx and tmn is not None and tmx is not None
+                and n > per):
+            # oversized single-conversation file: internal composite cuts at
+            # interpolated turn positions
+            while (cum + n > per * (len(bounds) + 1)
+                   and len(bounds) < num_files - 1):
+                frac = (per * (len(bounds) + 1) - cum) / n
+                turn = int(tmn) + max(
+                    1, int(round(frac * (int(tmx) - int(tmn) + 1))))
+                cand = (mn, turn)
+                if bounds and _key(cand) <= _key(bounds[-1]):
+                    break
+                bounds.append(cand)
         cum += n
+        prev_mx = mx if prev_mx is None else max(prev_mx, mx)
     return bounds
 
 
@@ -134,7 +189,7 @@ def stage_dataframe(table: Table, df: DataFrame,
     if num_files and range_cols and bounds is not None:
         nb = len(bounds) + 1
         if bounds:
-            pid = bucket_expr(F.col(range_cols[0]), bounds)
+            pid = bucket_expr([F.col(c) for c in range_cols], bounds)
             reps = partition_reps(nb)
             rep = F.element_at(
                 F.array(*[F.lit(r).cast("long") for r in reps]), pid + 1)

@@ -467,3 +467,227 @@ def test_rewrite_deletes_resume_sees_new_delete_as_conflict(
     assert snap is not None
     assert "delete_files" not in scan_stats(t)
     assert sorted_rows(scan(spark, t)) == want
+
+
+def test_mor_serializable_conflicts_on_overlapping_merge(spark,
+                                                         tmp_table_root,
+                                                         monkeypatch):
+    """ADVICE r4 #3: under the default snapshot isolation two concurrent
+    MoR merges over the same key both commit and the later sequence number
+    silently wins. ``isolation='serializable'`` gives the loser a signal:
+    a delete file committed concurrently whose conv range overlaps this
+    merge's staged delete makes the commit CONFLICT instead."""
+    import pytest
+
+    import engine.merge as merge_mod
+    from engine.format import CommitConflictError
+
+    t, df = _setup(spark, tmp_table_root)
+    want_rows = scan(spark, t).count()
+
+    real_stage = merge_mod.stage_dataframe
+    fired = []
+
+    def stage_then_rival_lands(table, sdf, *a, **kw):
+        staged = real_stage(table, sdf, *a, **kw)
+        if not fired:
+            fired.append(True)
+            # rival merge on the SAME key commits while we're staging
+            merge_into(spark, t, _sparse_source(spark, t, tag="rival"),
+                       {"text": "upd_text"}, pass_id="rival", mode="mor")
+        return staged
+
+    monkeypatch.setattr(merge_mod, "stage_dataframe", stage_then_rival_lands)
+    with pytest.raises(CommitConflictError):
+        merge_into(spark, t, _sparse_source(spark, t, tag="loser"),
+                   {"text": "upd_text"}, pass_id="loser", mode="mor",
+                   isolation="serializable")
+    monkeypatch.setattr(merge_mod, "stage_dataframe", real_stage)
+
+    # the rival's edit survives; the loser committed nothing
+    out = scan(spark, t)
+    assert out.filter("text = 'rival'").count() == 5
+    assert out.filter("text = 'loser'").count() == 0
+    assert out.count() == want_rows
+    # the loser's staged files were abandoned → sweepable
+    assert sweep_orphans(spark, t, grace_seconds=0.0)
+    # a replay from the fresh snapshot succeeds (no concurrent delete now)
+    merge_into(spark, t, _sparse_source(spark, t, tag="loser"),
+               {"text": "upd_text"}, pass_id="loser-replay", mode="mor",
+               isolation="serializable")
+    assert scan(spark, t).filter("text = 'loser'").count() == 5
+
+
+def test_mor_serializable_single_writer_commits_clean(spark,
+                                                      tmp_table_root):
+    """Serializable must not false-conflict: with no concurrent writer the
+    mode is byte-equivalent to the default."""
+    t, df = _setup(spark, tmp_table_root)
+    snap = merge_into(spark, t, _sparse_source(spark, t),
+                      {"text": "upd_text"}, pass_id="ser1", mode="mor",
+                      isolation="serializable")
+    assert snap.summary.get("mor") is True
+    assert scan(spark, t).filter("text = 'late-edit'").count() == 5
+    # stacked serializable generations also compose (each plans against
+    # the snapshot holding the previous generation's delete file)
+    merge_into(spark, t, _sparse_source(spark, t, tag="gen2"),
+               {"text": "upd_text"}, pass_id="ser2", mode="mor",
+               isolation="serializable")
+    assert scan(spark, t).filter("text = 'gen2'").count() == 5
+
+
+def test_mor_no_match_is_clean_noop(spark, tmp_table_root):
+    """ADVICE r4 #2: a sparse merge whose keys match nothing must not
+    commit zero-row data files — the snapshot is a clean no-op and the
+    staged empties are removed from disk."""
+    import os
+
+    t, df = _setup(spark, tmp_table_root)
+    entries_before = {e.path for e in t.manifest_entries(content="all")}
+    want = sorted_rows(scan(spark, t))
+
+    src = (spark.createDataFrame(
+        [("conv-zz-nope", 0), ("conv-zz-nope", 1)],
+        "conv_id string, turn_idx int")
+        .withColumn("upd_text", F.lit("ghost")))
+    snap = merge_into(spark, t, src, {"text": "upd_text"},
+                      pass_id="ghost", mode="mor")
+    after = t.manifest_entries(snap, content="all")
+    assert {e.path for e in after} == entries_before  # no new entries
+    assert all(e.record_count > 0 for e in after)
+    assert sorted_rows(scan(spark, t)) == want
+    # no zero-row parquet litter left in data/
+    for name in os.listdir(t.data_dir):
+        assert os.path.join("data", name) in entries_before, name
+
+
+def test_compact_replan_respects_retries(spark, tmp_table_root,
+                                         monkeypatch):
+    """ADVICE r4 #1: the fully-shadowed-group recovery must be bounded by
+    ``retries`` — if folding the backlog never succeeds (simulated no-op
+    rewrite_deletes + an engine that drops empty partition files), compact
+    raises instead of recursing forever."""
+    import pytest
+
+    import engine.maintain as maint_mod
+
+    df = generate_transcripts(spark, num_convs=40)
+    t = Table.create(tmp_table_root)
+    tiny = df.filter("conv_id in ('conv-00000010', 'conv-00000011')")
+    rest = df.filter("conv_id not in ('conv-00000010', 'conv-00000011')")
+    append(t, rest, num_files=1)
+    append(t, tiny, num_files=2, range_cols=["conv_id", "turn_idx"])
+    big_text = F.concat_ws("", *[
+        F.md5(F.concat_ws(":", "conv_id", "turn_idx", F.lit(str(i))))
+        for i in range(64)])
+    src = (tiny.select("conv_id", "turn_idx")
+           .withColumn("upd_text", big_text))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="mv",
+               mode="mor")
+    want = sorted_rows(scan(spark, t))
+
+    tiny_sizes = sorted(e.file_size_bytes for e in t.manifest_entries())
+    tb = 2 * (tiny_sizes[1] + 1)
+
+    real_stage = maint_mod.stage_dataframe
+
+    def stage_dropping_empties(table, sdf, *a, **kw):
+        staged = real_stage(table, sdf, *a, **kw)
+        return [e for e in staged if e.record_count > 0]
+
+    calls = []
+    monkeypatch.setattr(maint_mod, "stage_dataframe",
+                        stage_dropping_empties)
+    monkeypatch.setattr(maint_mod, "rewrite_deletes",
+                        lambda *a, **k: calls.append(1))
+    with pytest.raises(RuntimeError, match="retries exhausted"):
+        compact(spark, t, target_bytes=tb, pass_id="rg", retries=2)
+    assert len(calls) == 2  # one fold attempt per retry, then stop
+    monkeypatch.setattr(maint_mod, "stage_dataframe", real_stage)
+    assert sorted_rows(scan(spark, t)) == want  # nothing committed
+
+
+def test_compact_deletes_folds_backlog_to_one_file(spark, tmp_table_root):
+    """VERDICT r4 task #2: N sparse merges → compact_deletes → ONE delete
+    file; scan output byte-identical; each generation's replacement row
+    survives (the row-level __delete_seq preserves the original
+    applies-to-strictly-smaller-seq window — the folded FILE's higher
+    sequence must not wrongly shadow the MoR insert files)."""
+    from engine.maintain import compact_deletes
+
+    t, df = _setup(spark, tmp_table_root)
+    for i in range(4):
+        src = (scan(spark, t).select("conv_id", "turn_idx")
+               .orderBy("conv_id", "turn_idx")
+               .offset(i * 3).limit(3)
+               .withColumn("upd_text", F.lit(f"gen{i}")))
+        merge_into(spark, t, src, {"text": "upd_text"},
+                   pass_id=f"cd-m{i}", mode="mor")
+    want = sorted_rows(scan(spark, t))
+    assert scan_stats(t)["delete_files"] == 4
+
+    snap = compact_deletes(spark, t, pass_id="cd-fold")
+    assert snap is not None and snap.operation == "compact-deletes"
+    st = scan_stats(t)
+    assert st["delete_files"] == 1
+    assert sorted_rows(scan(spark, t)) == want
+    for i in range(4):
+        assert scan(spark, t).filter(f"text = 'gen{i}'").count() == 3
+    # second fold is a no-op (backlog already one file)
+    assert compact_deletes(spark, t, pass_id="cd-fold2") is None
+
+
+def test_compact_deletes_stacked_last_wins_and_mixed_backlog(
+        spark, tmp_table_root):
+    """Stacked generations on the SAME keys keep last-wins through the
+    fold, and a raw merge AFTER the fold composes with the folded file
+    (mixed schema: mergeSchema + coalesce to file-level seq)."""
+    from engine.maintain import compact_deletes, rewrite_deletes
+
+    t, df = _setup(spark, tmp_table_root)
+    merge_into(spark, t, _sparse_source(spark, t, tag="g1"),
+               {"text": "upd_text"}, pass_id="s1", mode="mor")
+    merge_into(spark, t, _sparse_source(spark, t, tag="g2"),
+               {"text": "upd_text"}, pass_id="s2", mode="mor")
+    compact_deletes(spark, t, pass_id="sf")
+    out = scan(spark, t)
+    assert out.filter("text = 'g2'").count() == 5  # last wins
+    assert out.filter("text = 'g1'").count() == 0
+    assert out.count() == df.count()
+
+    # raw merge lands on top of the folded file
+    merge_into(spark, t, _sparse_source(spark, t, tag="g3"),
+               {"text": "upd_text"}, pass_id="s3", mode="mor")
+    out = scan(spark, t)
+    assert out.filter("text = 'g3'").count() == 5
+    assert out.count() == df.count()
+    assert scan_stats(t)["delete_files"] == 2
+    # fold-of-fold: the mixed backlog folds again
+    compact_deletes(spark, t, pass_id="sf2")
+    assert scan_stats(t)["delete_files"] == 1
+    out = scan(spark, t)
+    assert out.filter("text = 'g3'").count() == 5
+    assert out.count() == df.count()
+    # the major compaction retires the folded backlog cleanly
+    rewrite_deletes(spark, t, pass_id="srd")
+    assert "delete_files" not in scan_stats(t)
+    assert scan(spark, t).filter("text = 'g3'").count() == 5
+
+
+def test_compact_folds_applied_after_delete_fold(spark, tmp_table_root):
+    """Bin-pack compaction over a FOLDED delete backlog: the compacted
+    output must apply the folded deletes with their row-level sequences
+    (the apply path reads __delete_seq through delete_rows_with_seq)."""
+    from engine.maintain import compact_deletes
+
+    t, df = _setup(spark, tmp_table_root, files=8)
+    merge_into(spark, t, _sparse_source(spark, t, tag="fc"),
+               {"text": "upd_text"}, pass_id="fc1", mode="mor")
+    merge_into(spark, t, _sparse_source(spark, t, n=9, tag="fc2"),
+               {"text": "upd_text"}, pass_id="fc2", mode="mor")
+    compact_deletes(spark, t, pass_id="fcf")
+    want = sorted_rows(scan(spark, t))
+    snap = compact(spark, t, target_bytes=1 << 30, pass_id="fcc")
+    assert snap is not None
+    assert sorted_rows(scan(spark, t)) == want
+    assert scan(spark, t).filter("text = 'fc2'").count() == 9

@@ -81,3 +81,56 @@ def test_group_ffill_hot_conversation_task_share_is_bounded(spark):
     sample = (filled.filter("conv_id = 'conv-hot' and turn_idx in (0, 7)")
               .orderBy("turn_idx").collect())
     assert [r["role"] for r in sample] == ["user", "user"]
+
+
+def test_cow_rewrite_splits_hot_conversation_across_files(spark,
+                                                          tmp_table_root):
+    """The write-side mirror of the grouped-map bound above (VERDICT r4
+    task #3): a conversation ~100× the mean must NOT land whole in one
+    shuffle partition / oversized output file of the CoW merge rewrite —
+    composite (conv_id, turn_idx) range boundaries split it. Without them,
+    conv-only boundaries put the hot conversation's entire row mass in a
+    single straggler task and file."""
+    from engine.format import Table
+    from engine.merge import impute_merge
+    from engine.scan import scan, scan_stats
+    from engine.synth import generate_transcripts, inject_missing
+    from engine.write import append
+
+    base = generate_transcripts(spark, num_convs=200)
+    mean_conv = base.count() / 200
+    hot_turns = int(mean_conv * 100)
+    hot = spark.range(hot_turns).select(
+        F.lit("conv-hot").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("string"))
+         .otherwise(F.lit("user")).alias("role"),
+        F.lit("search").alias("tool"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.current_timestamp().alias("ts"))
+    df = base.unionByName(hot.select(*base.columns))
+    injected, _wl = inject_missing(df)
+    total = injected.count()
+
+    t = Table.create(tmp_table_root)
+    append(t, injected, num_files=12, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+
+    n_out = 12
+    tb = max(1, scan_stats(t)["bytes"] // n_out)
+    snap = impute_merge(spark, t, target_bytes=tb)
+    new = [e for e in t.manifest_entries(snap)
+           if e.sequence_number == snap.snapshot_id]
+    counts = sorted(e.record_count for e in new)
+    mean_rows = sum(counts) / len(counts)
+    # the straggler bound: no staged file more than 2× the mean
+    assert counts[-1] <= 2 * mean_rows, (counts, mean_rows)
+    # honesty: the hot conversation really is the dominant mass — without
+    # the composite split it could not satisfy the bound
+    assert hot_turns > 2 * mean_rows, (hot_turns, mean_rows)
+    # scan output unchanged: same row set, no duplicate keys
+    out = scan(spark, t)
+    assert out.count() == total
+    assert out.groupBy("conv_id", "turn_idx").count() \
+              .filter("count > 1").count() == 0
+    assert out.filter("conv_id = 'conv-hot'").count() == hot_turns

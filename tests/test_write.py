@@ -94,3 +94,60 @@ def test_bounds_layout_deterministic_across_parallelism(spark, tmp_path):
     a = stats_of(str(tmp_path / "a"), "3")
     b = stats_of(str(tmp_path / "b"), "13")
     assert a == b
+
+
+def test_range_bounds_composite_splits_hot_conversation():
+    """VERDICT r4 task #3 (unit): a single conversation bigger than the
+    per-file row target gets COMPOSITE (conv, turn) boundaries interpolated
+    from manifest turn stats; distinct-conv distributions still get the
+    byte-identical conv-only boundaries."""
+    # oversized single-conv file between two normal ones
+    ents = [
+        DataFile("data/a.parquet", 100, 1000,
+                 {"conv_id": {"min": "c000", "max": "c000"},
+                  "turn_idx": {"min": 0, "max": 99}}),
+        DataFile("data/hot.parquet", 800, 8000,
+                 {"conv_id": {"min": "c500", "max": "c500"},
+                  "turn_idx": {"min": 0, "max": 799}}),
+        DataFile("data/z.parquet", 100, 1000,
+                 {"conv_id": {"min": "c900", "max": "c900"},
+                  "turn_idx": {"min": 0, "max": 99}}),
+    ]
+    b = range_bounds_from_entries(ents, 5, "conv_id", turn_col="turn_idx")
+    assert b == [("c500", 100), ("c500", 300), ("c500", 500), ("c500", 700)]
+    # a run of same-conv files: cut at each file's turn start (no empty
+    # leading partition, no conv-only boundary inside the run)
+    run = [DataFile(f"data/h{i}.parquet", 300, 3000,
+                    {"conv_id": {"min": "c500", "max": "c500"},
+                     "turn_idx": {"min": i * 300, "max": i * 300 + 299}})
+           for i in range(4)]
+    assert range_bounds_from_entries(run, 4, "conv_id",
+                                     turn_col="turn_idx") == \
+        [("c500", 300), ("c500", 600), ("c500", 900)]
+    # distinct convs: identical to the turn-free form
+    ents2 = [DataFile(f"data/f{i}.parquet", record_count=100,
+                      file_size_bytes=1000,
+                      stats={"conv_id": {"min": f"c{i:03d}",
+                                         "max": f"c{i:03d}z"},
+                             "turn_idx": {"min": 0, "max": 99}})
+             for i in range(10)]
+    assert range_bounds_from_entries(ents2, 5, "conv_id",
+                                     turn_col="turn_idx") == \
+        range_bounds_from_entries(ents2, 5, "conv_id")
+
+
+def test_bucket_expr_composite_routes_lexicographically(spark):
+    """(conv, turn) boundaries partition rows exactly like a lexicographic
+    binary search — row < (bc, bt) iff conv < bc or (conv == bc and
+    turn < bt)."""
+    bounds = [("c1", 50), ("c1", 100), ("c2", 0)]
+    rows = [("c0", 999), ("c1", 0), ("c1", 49), ("c1", 50), ("c1", 99),
+            ("c1", 100), ("c1", 500), ("c2", 0), ("c3", 1)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    got = {(r["conv_id"], r["turn_idx"]): r["pid"] for r in df.select(
+        "conv_id", "turn_idx",
+        bucket_expr([F.col("conv_id"), F.col("turn_idx")],
+                    bounds).alias("pid")).collect()}
+    import bisect
+    for (c, t), pid in got.items():
+        assert pid == bisect.bisect_right(bounds, (c, t)), ((c, t), pid)
