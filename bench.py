@@ -173,7 +173,8 @@ def steady_state_leg(spark, pristine: str, work_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from engine.format import Table
-    from engine.maintain import (compact, expire_snapshots, rewrite_deletes,
+    from engine.maintain import (compact, compact_deletes, expire_checkpoints,
+                                 expire_snapshots, rewrite_deletes,
                                  sweep_orphans)
     from engine.scan import scan, scan_stats
     from engine.streaming import ingest_batch
@@ -204,17 +205,27 @@ def steady_state_leg(spark, pristine: str, work_dir: str) -> dict:
         ins_rows += b.count()
         ingest_batch(spark, t, b, batch_id=1000 + i)
     ingest_s = time.time() - t0
-    # one sparse late-edit batch over a few existing (non-hot)
+    # two sparse late-edit batches over a few existing (non-hot)
     # conversations: existing keys → MERGE; tiny fraction of the affected
-    # file → auto merge-on-read (delete + insert files, no rewrite)
+    # file → auto merge-on-read (delete + insert files, no rewrite). Two
+    # generations so the delete-file MINOR compaction below has a real
+    # backlog to fold.
     t0 = time.time()
-    upd = (generate_transcripts(spark, num_convs=7)
-           .filter(F.col("conv_id") != "conv-00000000")  # skip the hot conv
-           .withColumn("text", F.concat(F.lit("edited: "), F.col("text"))))
-    ingest_batch(spark, t, upd, batch_id=2000)
+    for gen, ncv in ((0, 7), (1, 5)):
+        upd = (generate_transcripts(spark, num_convs=ncv)
+               .filter(F.col("conv_id") != "conv-00000000")  # skip hot conv
+               .withColumn("text",
+                           F.concat(F.lit("edited: "), F.col("text"))))
+        ingest_batch(spark, t, upd, batch_id=2000 + gen)
     update_s = time.time() - t0
     st = scan_stats(t)
     mor_delete_files = st.get("delete_files", 0)
+    # minor compaction of the delete backlog: metadata-cheap (touches only
+    # the tiny delete files), drops the per-scan delete reads back to 1
+    t0 = time.time()
+    compact_deletes(spark, t)
+    fold_s = time.time() - t0
+    mor_delete_files_after_fold = scan_stats(t).get("delete_files", 0)
 
     # compaction target sized off the MEASURED batch files so they are
     # bin-pack-eligible (size < tb/2 = max(batch file) + 1). zstd pristine
@@ -239,6 +250,7 @@ def steady_state_leg(spark, pristine: str, work_dir: str) -> dict:
     rwdel_s = time.time() - t0
     t0 = time.time()
     expire_snapshots(t, keep_last=1)
+    expire_checkpoints(t)
     orphans = len(sweep_orphans(spark, t, grace_seconds=0.0))
     sweep_s = time.time() - t0
     t0 = time.time()
@@ -247,7 +259,7 @@ def steady_state_leg(spark, pristine: str, work_dir: str) -> dict:
     edited = scan(spark, t).filter("text like 'edited: %'").count()
     shutil.rmtree(root, ignore_errors=True)
     assert rows == base_rows + ins_rows, (rows, base_rows, ins_rows)
-    total = ingest_s + update_s + compact_s + rwdel_s + sweep_s
+    total = ingest_s + update_s + fold_s + compact_s + rwdel_s + sweep_s
     return {
         "rows": rows, "ingested_rows": ins_rows,
         "edited_rows": edited,
@@ -255,6 +267,8 @@ def steady_state_leg(spark, pristine: str, work_dir: str) -> dict:
         "compact_s": round(compact_s, 3), "compact_jobs": compact_jobs,
         "small_files_before": small_before, "small_files_after": small_after,
         "mor_delete_files": mor_delete_files,
+        "compact_deletes_s": round(fold_s, 3),
+        "mor_delete_files_after_fold": mor_delete_files_after_fold,
         "rewrite_deletes_s": round(rwdel_s, 3),
         "expire_sweep_s": round(sweep_s, 3), "orphans_removed": orphans,
         "scan_s": round(scan_s, 3),
@@ -348,8 +362,10 @@ def write_baseline_md(sf: float, lo: dict, hi: dict, full: dict,
         s_lo, s_hi = steady
         keys = ["ingest_s", "update_s", "compact_s", "compact_jobs",
                 "small_files_before", "small_files_after",
-                "mor_delete_files", "rewrite_deletes_s", "expire_sweep_s",
-                "orphans_removed", "scan_s", "total_s", "rows_per_sec"]
+                "mor_delete_files", "compact_deletes_s",
+                "mor_delete_files_after_fold", "rewrite_deletes_s",
+                "expire_sweep_s", "orphans_removed", "scan_s", "total_s",
+                "rows_per_sec"]
         steady_table = "\n".join(
             f"| {k} | {(s_lo or {}).get(k, '—')} | {s_hi.get(k, '—')} |"
             for k in keys)
@@ -441,10 +457,13 @@ deployment would also pay per pass.
 
 ## Steady-state maintenance ops (the cadence the fused headline never runs)
 
-Streamed small appends (`ingest_batch`, 6 insert batches + 1 sparse
-late-edit batch that takes the merge-on-read path) → single-job `compact`
-→ `rewrite_deletes` (folds the MoR delete backlog) → snapshot expiry →
-grace-0 orphan sweep, at both widths on a copy of the same pristine table:
+Streamed small appends (`ingest_batch`, 6 insert batches + 2 sparse
+late-edit generations that take the merge-on-read path) →
+`compact_deletes` (MINOR delete compaction: folds the delete backlog to
+ONE file, metadata-cheap) → single-job `compact` → `rewrite_deletes`
+(major: folds deletes into data files and retires them) → snapshot +
+checkpoint expiry → grace-0 orphan sweep, at both widths on a copy of the
+same pristine table:
 
 | stage | local[2] (N) | local[8] (4N) |
 |---|---|---|

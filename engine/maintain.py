@@ -138,7 +138,11 @@ def compact(spark: SparkSession, table: Table,
         mapping = F.broadcast(
             spark.createDataFrame(route, "__cmp_base string, __cmp_rep long"))
         paths = [os.path.join(table.root, e.path) for _, g in todo for e in g]
-        df = (spark.read.parquet(*paths)
+        from .scan import _table_reader
+        # schema-merging reader: a bin-pack group can mix pre- and
+        # post-add_column files — a plain read would take one footer's
+        # schema and silently drop the evolved column from the rewrite
+        df = (_table_reader(spark, table).parquet(*paths)
               .withColumn("__cmp_base",
                           F.element_at(F.split(F.input_file_name(), "/"), -1)))
         if dels:
@@ -696,6 +700,47 @@ def _sweep_distributed(spark: SparkSession, table: Table,
             listed.join(referenced, "path", "left_anti").collect()]
 
 
+def expire_checkpoints(table: Table) -> list[str]:
+    """Checkpoint retention (VERDICT r4 task #5): delete the checkpoint
+    logs of FINALIZED passes whose snapshot has been expired from the
+    snapshot log. ``metadata/checkpoints/*.jsonl`` otherwise grows forever,
+    and BOTH orphan-sweep paths read every file on every run.
+
+    Safety: such a pass can never be resumed — a replay with its pass_id
+    short-circuits on ``pass_committed()`` (whose only effect is returning
+    the CURRENT snapshot) and ``_adopt_crashed_commit`` can only adopt a
+    snapshot still in the log. Unfinalized and aborted-but-unfinalized
+    passes keep their logs: they are resumable / their tombstone ordering
+    still gates the local sweep."""
+    live = {s.snapshot_id for s in table.snapshots()}
+    ckpt_dir = os.path.join(table.meta_dir, "checkpoints")
+    removed: list[str] = []
+    if not os.path.isdir(ckpt_dir):
+        return removed
+    import json
+    for fn in sorted(os.listdir(ckpt_dir)):
+        if not fn.endswith(".jsonl"):
+            continue
+        path = os.path.join(ckpt_dir, fn)
+        snap_id, committed = None, False
+        try:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    r = json.loads(line)
+                    if r["task_id"] == "__pass__" and r.get("committed"):
+                        committed = True
+                        snap_id = (r.get("extra") or {}).get("snapshot_id")
+        except (OSError, ValueError):
+            continue  # concurrent writer / torn file: keep, next pass retries
+        if committed and snap_id is not None and snap_id not in live:
+            os.remove(path)
+            removed.append(fn)
+    return removed
+
+
 # ------------------------------------------------------------------ metrics
 def maintenance_metrics(spark: SparkSession, table: Table,
                         pass_id: str) -> list[dict]:
@@ -780,8 +825,10 @@ def run_maintenance(spark: SparkSession, table: Table,
     rewrite_manifests(table)
     out["rewrite_manifests_s"] = round(time.time() - t0, 3)
     expired = expire_snapshots(table, keep_last=keep_last)
+    expired_ckpts = expire_checkpoints(table)
     orphans = sweep_orphans(spark, table, grace_seconds=grace_seconds)
     out["expired_snapshots"] = len(expired)
+    out["expired_checkpoints"] = len(expired_ckpts)
     out["orphans_removed"] = len(orphans)
     if collect_metrics:
         out["metrics"] = maintenance_metrics(spark, table, pass_id)

@@ -31,6 +31,29 @@ MERGE_KEYS = ("conv_id", "turn_idx")
 _DELETE_SEQ_COL = "__delete_seq"
 
 
+def _table_reader(spark: SparkSession, table: Table):
+    """The parquet reader for this table's data files: schema-merging ONLY
+    when the table has evolved (``add_column``) — pre-add files lack the
+    new column physically and a plain read would take one file's footer as
+    THE schema, silently dropping the column from the scan. Un-evolved
+    tables (the steady state) pay zero extra footer work."""
+    reader = spark.read
+    if table.schema_adds():
+        reader = reader.option("mergeSchema", "true")
+    return reader
+
+
+def reconcile_added_columns(table: Table, df: DataFrame) -> DataFrame:
+    """Additive schema evolution, read side: every registered added column
+    exists on the way out — typed nulls when NO live file carries it yet
+    (mergeSchema can only merge columns that exist somewhere)."""
+    for a in table.schema_adds():
+        if a["name"] not in df.columns:
+            df = df.withColumn(a["name"],
+                               F.lit(None).cast(a["type"]))
+    return df
+
+
 def conv_overlap(a: DataFile, b: DataFile) -> bool:
     """Conservative conv_id range overlap from manifest stats (missing
     stats → True)."""
@@ -94,15 +117,16 @@ def read_with_deletes(spark: SparkSession, table: Table,
     ``apply_equality_deletes``. Measured: the split cuts the scan-time
     delete overhead ~4× on a 1.4M-row table with a 3-generation backlog."""
     if not delete_entries:
-        return spark.read.parquet(*[os.path.join(table.root, e.path)
-                                    for e in data_entries])
+        return reconcile_added_columns(
+            table, _table_reader(spark, table).parquet(
+                *[os.path.join(table.root, e.path) for e in data_entries]))
     min_del = min(delete_min_seq(d) for d in delete_entries)
     old = [e for e in data_entries if e.sequence_number < min_del]
     new = [e for e in data_entries if e.sequence_number >= min_del]
     parts = []
     if old:
-        df_old = spark.read.parquet(*[os.path.join(table.root, e.path)
-                                      for e in old])
+        df_old = _table_reader(spark, table).parquet(
+            *[os.path.join(table.root, e.path) for e in old])
         dels = (delete_rows_with_seq(spark, table, delete_entries)
                 .select(*MERGE_KEYS))
         if sum(d.file_size_bytes for d in delete_entries) \
@@ -110,14 +134,15 @@ def read_with_deletes(spark: SparkSession, table: Table,
             dels = F.broadcast(dels)
         parts.append(df_old.join(dels, list(MERGE_KEYS), "left_anti"))
     if new:
-        df_new = spark.read.parquet(*[os.path.join(table.root, e.path)
-                                      for e in new])
+        df_new = _table_reader(spark, table).parquet(
+            *[os.path.join(table.root, e.path) for e in new])
         parts.append(apply_equality_deletes(spark, table, df_new, new,
                                             delete_entries))
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        # post-evolution inserts may carry a column the pre-add base lacks
+        out = out.unionByName(p, allowMissingColumns=True)
+    return reconcile_added_columns(table, out)
 
 
 def apply_equality_deletes(spark: SparkSession, table: Table, df: DataFrame,
@@ -263,7 +288,8 @@ def scan(spark: SparkSession, table: Table,
             df = read_with_deletes(spark, table, entries, dels)
         else:
             paths = [os.path.join(table.root, e.path) for e in entries]
-            df = spark.read.parquet(*paths)
+            df = _table_reader(spark, table).parquet(*paths)
+    df = reconcile_added_columns(table, df)
     if columns:
         df = df.select(*columns)
     return df
@@ -289,7 +315,8 @@ def incremental_scan(spark: SparkSession, table: Table,
                  if e.path not in base]
     if not new_paths:
         return scan(spark, table, snapshot_id=target.snapshot_id).limit(0)
-    return spark.read.parquet(*new_paths)
+    return reconcile_added_columns(
+        table, _table_reader(spark, table).parquet(*new_paths))
 
 
 def changes_between(spark: SparkSession, table: Table,

@@ -373,3 +373,61 @@ def test_compact_job_count_constant_in_group_count(spark, tmp_path):
     assert groups_b > groups_a  # the plan really did scale in groups
     assert jobs_b == jobs_a, (jobs_a, jobs_b)
     assert jobs_a <= 5
+
+
+def test_expire_checkpoints_removes_only_dead_finalized(spark,
+                                                        tmp_table_root):
+    """Checkpoint retention (VERDICT r4 task #5): after snapshot expiry,
+    finalized checkpoint logs whose snapshot left the log are deleted;
+    logs of live-snapshot passes and of unfinalized (resumable) passes are
+    retained, and the sweep still protects the unfinalized pass's staged
+    output."""
+    from pyspark.sql import functions as F
+
+    from engine.checkpoint import CheckpointLog, TaskRecord
+    from engine.maintain import expire_checkpoints, sweep_orphans
+    from engine.merge import merge_into
+
+    df = generate_transcripts(spark, num_convs=30)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=4, range_cols=["conv_id", "turn_idx"])
+
+    def _merge(pid, tag):
+        src = (scan(spark, t).select("conv_id", "turn_idx")
+               .orderBy("conv_id", "turn_idx").limit(3)
+               .withColumn("upd_text", F.lit(tag)))
+        return merge_into(spark, t, src, {"text": "upd_text"},
+                          pass_id=pid, mode="cow")
+
+    _merge("ck-m1", "one")          # snapshot 2 (will be expired)
+    s_live = _merge("ck-m2", "two")  # snapshot 3 (stays current)
+
+    # a crashed pass: staged file + checkpoint record, never finalized
+    staged = os.path.join(t.data_dir, "part-crashy.parquet")
+    src_file = os.path.join(t.root, t.manifest_entries()[0].path)
+    import shutil as _sh
+    _sh.copyfile(src_file, staged)
+    ck = CheckpointLog(t.root, "crashy", "merge")
+    ck.record(TaskRecord("crashy", "merge", "rewrite", [],
+                         ["data/part-crashy.parquet"]))
+
+    ckpt_dir = os.path.join(t.meta_dir, "checkpoints")
+    before = set(os.listdir(ckpt_dir))
+    assert {"merge-ck-m1.jsonl", "merge-ck-m2.jsonl",
+            "merge-crashy.jsonl"} <= before
+
+    expire_snapshots(t, keep_last=1)
+    removed = expire_checkpoints(t)
+    after = set(os.listdir(ckpt_dir))
+    assert "merge-ck-m1.jsonl" in removed and "merge-ck-m1.jsonl" not in after
+    assert "merge-ck-m2.jsonl" in after      # its snapshot is current
+    assert "merge-crashy.jsonl" in after     # unfinalized → resumable
+    # idempotent replay of the retained finalized pass still no-ops
+    snap = _merge("ck-m2", "two")
+    assert snap.snapshot_id == t.current_snapshot().snapshot_id
+    # the sweep still protects the unfinalized pass's staged output
+    swept = sweep_orphans(spark, t, grace_seconds=0.0)
+    assert "data/part-crashy.parquet" not in swept
+    assert os.path.exists(staged)
+    assert scan(spark, t).filter("text = 'two'").count() == 3
+    assert s_live.snapshot_id in {s.snapshot_id for s in t.snapshots()}
