@@ -9,9 +9,16 @@ Commands
     merge    <table_root>               impute-MERGE only
     compact  <table_root>               bin-packing compaction only
     rewrite-deletes <table_root>        fold the merge-on-read delete backlog
+    delete   <table_root> <conv_id>     DELETE FROM ... WHERE conv_id = X
+                                        (compliance purge of a conversation)
     compact-deletes <table_root>        MINOR delete compaction (metadata-cheap)
     add-column <table_root> <name> <type>  additive schema evolution
     cluster  <table_root> [zorder|hilbert]
+    rollback <table_root> <snapshot_id> undo to an earlier retained snapshot
+    branch   <table_root> <name>        cut an audit branch at current
+    tag      <table_root> <name>        pin current snapshot against expiry
+    publish  <table_root> <branch>      fast-forward main to a branch head
+    drop-ref <table_root> <name>        delete a branch/tag ref
     expire   <table_root> [keep_last]   also expires dead checkpoint logs
     sweep    <table_root> [grace_seconds]
     index    <table_root> <out_dir>     materialize the offline candidate index
@@ -62,6 +69,15 @@ def main(argv: list[str]) -> int:
             snap = rewrite_deletes(spark, Table(root))
             print(json.dumps({"snapshot":
                               snap.snapshot_id if snap else None}))
+        elif cmd == "delete":
+            from .merge import delete_where
+            from .scan import Predicate
+            snap = delete_where(spark, Table(root),
+                                [Predicate("conv_id", "eq", argv[2])])
+            print(json.dumps({
+                "snapshot": snap.snapshot_id if snap else None,
+                "deleted_rows": (snap.summary.get("deleted_rows", 0)
+                                 if snap else 0)}))
         elif cmd == "compact-deletes":
             from .maintain import compact_deletes
             snap = compact_deletes(spark, Table(root))
@@ -77,6 +93,25 @@ def main(argv: list[str]) -> int:
             strategy = argv[2] if len(argv) > 2 else "zorder"
             snap = cluster(spark, Table(root), strategy)
             print(json.dumps({"snapshot": snap.snapshot_id}))
+        elif cmd == "branch":
+            Table(root).create_branch(argv[2])
+            print(json.dumps({"branch": argv[2],
+                              "refs": Table(root).refs()}))
+        elif cmd == "tag":
+            Table(root).create_tag(argv[2])
+            print(json.dumps({"tag": argv[2], "refs": Table(root).refs()}))
+        elif cmd == "publish":
+            snap = Table(root).fast_forward(argv[2])
+            print(json.dumps({"published": argv[2],
+                              "snapshot": snap.snapshot_id}))
+        elif cmd == "drop-ref":
+            Table(root).drop_ref(argv[2])
+            print(json.dumps({"dropped": argv[2]}))
+        elif cmd == "rollback":
+            snap = Table(root).rollback_to(int(argv[2]))
+            print(json.dumps({"snapshot": snap.snapshot_id,
+                              "rolled_back_to":
+                              snap.summary.get("rolled_back_to")}))
         elif cmd == "expire":
             from .maintain import expire_checkpoints, expire_snapshots
             keep = int(argv[2]) if len(argv) > 2 else 2

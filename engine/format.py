@@ -466,7 +466,8 @@ class Table:
                summary: dict | None = None,
                carry_manifests: bool = True,
                expected_delete_paths: set[str] | None = None,
-               conflict_key_ranges: list[DataFile] | None = None) -> Snapshot:
+               conflict_key_ranges: list[DataFile] | None = None,
+               branch: str | None = None) -> Snapshot:
         """Create a new snapshot = (parent's files − removed) ∪ added.
 
         Manifests are immutable; unchanged manifests are carried over wholesale
@@ -489,13 +490,17 @@ class Table:
         overlaps any of their conv_id ranges (conservative manifest-stats
         overlap), the two merges may have updated the same keys and
         last-sequence-wins would silently revert the earlier one, so this
-        commit conflicts instead of committing."""
+        commit conflicts instead of committing.
+
+        ``branch``: commit onto a named branch's head (write-audit-publish)
+        instead of main — the branch ref advances, ``current_snapshot_id``
+        does not."""
         lock = self._acquire_commit_lock()
         try:
             return self._commit_locked(operation, added, removed_paths,
                                        summary, carry_manifests,
                                        expected_delete_paths,
-                                       conflict_key_ranges)
+                                       conflict_key_ranges, branch)
         finally:
             try:
                 os.unlink(lock)
@@ -507,11 +512,20 @@ class Table:
                        summary: dict | None,
                        carry_manifests: bool,
                        expected_delete_paths: set[str] | None = None,
-                       conflict_key_ranges: list[DataFile] | None = None
-                       ) -> Snapshot:
+                       conflict_key_ranges: list[DataFile] | None = None,
+                       branch: str | None = None) -> Snapshot:
         removed_paths = removed_paths or set()
         meta = self.load_metadata()
-        parent = self.current_snapshot()
+        if branch is not None:
+            r = meta.get("refs", {}).get(branch)
+            if r is None or r.get("type") != "branch":
+                raise KeyError(f"branch {branch!r} not found (create_branch "
+                               "first)")
+            parent = Snapshot.from_json(next(
+                s for s in meta["snapshots"]
+                if s["snapshot_id"] == r["snapshot_id"]))
+        else:
+            parent = self.current_snapshot()
         manifests: list[str] = []
         if parent is not None:
             loaded: list[tuple[str, list[dict]]] = []
@@ -588,7 +602,11 @@ class Table:
             raise CommitConflictError(
                 f"{operation}: commit removes {len(removed_paths)} file(s) "
                 "but the table has no current snapshot")
-        sid = (parent.snapshot_id + 1) if parent else 1
+        # GLOBAL max + 1, not parent + 1: branch heads and rollback commits
+        # share one id space, and two lineages advancing from different
+        # parents must never collide on a snapshot id
+        sid = (max(s["snapshot_id"] for s in meta["snapshots"]) + 1
+               if meta["snapshots"] else 1)
         if added:
             # data-sequence assignment (Iceberg v2): every file added by
             # this commit carries the new snapshot id as its sequence
@@ -614,10 +632,165 @@ class Table:
             },
         )
         meta["snapshots"].append(snap.to_json())
-        meta["current_snapshot_id"] = sid
+        if branch is not None:
+            meta["refs"][branch]["snapshot_id"] = sid
+        else:
+            meta["current_snapshot_id"] = sid
         meta["version"] = meta["version"] + 1
         self._write_version(meta["version"], meta)
         return snap
+
+    # ------------------------------------------------------------------ refs
+    def refs(self) -> dict[str, dict]:
+        """Named snapshot pointers: ``{name: {"snapshot_id", "type"}}``
+        with type 'branch' (movable head, commit target) or 'tag'
+        (immutable, expiry-protected). The main branch is implicit
+        (``current_snapshot_id``)."""
+        return self.load_metadata().get("refs", {})
+
+    def _mutate_refs(self, fn) -> dict:
+        lock = self._acquire_commit_lock()
+        try:
+            meta = self.load_metadata()
+            refs = meta.get("refs", {})
+            out = fn(meta, refs)
+            meta["refs"] = refs
+            meta["version"] = meta["version"] + 1
+            self._write_version(meta["version"], meta)
+            return out
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def create_branch(self, name: str,
+                      from_snapshot_id: int | None = None) -> None:
+        """Write-audit-publish, step 1: a movable head starting at
+        ``from_snapshot_id`` (default: current). Commits with
+        ``branch=name`` advance it; main is untouched until
+        ``fast_forward`` publishes."""
+        def fn(meta, refs):
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists")
+            sid = from_snapshot_id
+            if sid is None:
+                sid = meta["current_snapshot_id"]
+            if sid is None or not any(s["snapshot_id"] == sid
+                                      for s in meta["snapshots"]):
+                raise KeyError(f"snapshot {sid} not found")
+            refs[name] = {"snapshot_id": sid, "type": "branch"}
+        self._mutate_refs(fn)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Immutable named snapshot (e.g. a training-run's exact input
+        state). Tagged snapshots never expire until the tag is dropped."""
+        def fn(meta, refs):
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists")
+            sid = snapshot_id
+            if sid is None:
+                sid = meta["current_snapshot_id"]
+            if sid is None or not any(s["snapshot_id"] == sid
+                                      for s in meta["snapshots"]):
+                raise KeyError(f"snapshot {sid} not found")
+            refs[name] = {"snapshot_id": sid, "type": "tag"}
+        self._mutate_refs(fn)
+
+    def drop_ref(self, name: str) -> None:
+        def fn(meta, refs):
+            if name not in refs:
+                raise KeyError(f"ref {name!r} not found")
+            del refs[name]
+        self._mutate_refs(fn)
+
+    def ref_snapshot(self, name: str) -> Snapshot:
+        r = self.refs().get(name)
+        if r is None:
+            raise KeyError(f"ref {name!r} not found")
+        return self.snapshot(r["snapshot_id"])
+
+    def fast_forward(self, from_branch: str) -> Snapshot:
+        """Write-audit-publish, step 3: publish a branch to main. Only a
+        true fast-forward is allowed — main's current snapshot must be an
+        ancestor of the branch head (nothing landed on main since the
+        branch was cut); otherwise the caller must rebase (re-run the
+        branch work on fresh main) or explicitly ``rollback_to``. The
+        publish itself is a metadata-only pointer move: the branch's
+        snapshots are already in the log, so audit scans and the published
+        state are byte-identical by construction."""
+        lock = self._acquire_commit_lock()
+        try:
+            meta = self.load_metadata()
+            refs = meta.get("refs", {})
+            r = refs.get(from_branch)
+            if r is None:
+                raise KeyError(f"ref {from_branch!r} not found")
+            head = r["snapshot_id"]
+            cur = meta["current_snapshot_id"]
+            by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            node, seen = head, set()
+            while node is not None and node != cur and node not in seen:
+                seen.add(node)
+                node = by_id.get(node, {}).get("parent_id")
+            if node != cur:
+                raise CommitConflictError(
+                    f"fast_forward({from_branch!r}): main moved since the "
+                    "branch was cut (current snapshot is not an ancestor "
+                    "of the branch head) — rebase the branch work onto "
+                    "fresh main, or rollback main explicitly")
+            meta["current_snapshot_id"] = head
+            meta["version"] = meta["version"] + 1
+            self._write_version(meta["version"], meta)
+            return Snapshot.from_json(by_id[head])
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    # ------------------------------------------------------------- rollback
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Point the table back at an earlier RETAINED snapshot's state
+        (Iceberg's rollback-to-snapshot): a bad merge/delete/compaction is
+        undone by a metadata-only commit — no data file is touched.
+
+        The rollback is itself a NEW snapshot referencing the target's
+        manifests, so history stays linear, the bad snapshots remain
+        time-travelable until expiry, and ``changes_between`` surfaces the
+        rollback as ordinary row-level CDC (the un-done changes reversed).
+        Files committed after the target become unreferenced once the bad
+        snapshots expire and are collected by the orphan sweep."""
+        lock = self._acquire_commit_lock()
+        try:
+            meta = self.load_metadata()
+            target = None
+            for s in meta["snapshots"]:
+                if s["snapshot_id"] == snapshot_id:
+                    target = s
+            if target is None:
+                raise KeyError(f"snapshot {snapshot_id} not found "
+                               "(expired?)")
+            parent = meta["current_snapshot_id"]
+            if parent == snapshot_id:
+                return Snapshot.from_json(target)  # already there: no-op
+            sid = max(s["snapshot_id"] for s in meta["snapshots"]) + 1
+            snap = Snapshot(
+                snapshot_id=sid, parent_id=parent,
+                timestamp_ms=int(time.time() * 1000),
+                operation="rollback", manifests=list(target["manifests"]),
+                summary={"rolled_back_to": snapshot_id,
+                         "added_files": 0, "removed_files": 0})
+            meta["snapshots"].append(snap.to_json())
+            meta["current_snapshot_id"] = sid
+            meta["version"] = meta["version"] + 1
+            self._write_version(meta["version"], meta)
+            return snap
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     # -------------------------------------------------------------- expiry
     def expire_snapshots(self, keep_last: int = 1,
@@ -643,12 +816,17 @@ class Table:
             return []
         keep_last = max(1, keep_last)
         cutoff_idx = max(0, len(snaps) - keep_last)
+        # ref targets (branch heads, tags) are pinned: a tag names a
+        # reproducible input state (e.g. a training run's exact snapshot)
+        # and must survive until the ref is dropped
+        pinned = {r["snapshot_id"] for r in meta.get("refs", {}).values()}
         expired, kept = [], []
         for i, s in enumerate(snaps):
             is_current = s["snapshot_id"] == meta["current_snapshot_id"]
             old_enough = (older_than_ms is None
                           or s["timestamp_ms"] < older_than_ms)
-            if i < cutoff_idx and old_enough and not is_current:
+            if (i < cutoff_idx and old_enough and not is_current
+                    and s["snapshot_id"] not in pinned):
                 expired.append(s["snapshot_id"])
             else:
                 kept.append(s)

@@ -609,6 +609,153 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     return new_snap
 
 
+def delete_where(spark: SparkSession, table: Table,
+                 predicates: list[Predicate],
+                 pass_id: str | None = None,
+                 mode: str = "auto",
+                 target_bytes: int = 128 * 1024 * 1024) -> Snapshot | None:
+    """DELETE FROM table WHERE <predicates> — row-level deletion, the
+    training-data lake's compliance/contamination-purge op (opt-outs,
+    benchmark-contaminated conversations, licensing takedowns). The
+    reference has no deletion at all (its lake is an immutable CSV dump);
+    this is lakehouse completeness beyond the inventory.
+
+    Three-tier physical plan, cheapest applicable tier per file:
+
+    1. **Metadata-only whole-file drop** — files whose stats PROVE every
+       row matches (``Predicate.matches_all``, e.g. a single-conversation
+       file under ``conv_id = X``): removed from the manifest without
+       reading a byte (Iceberg's partition-predicate delete).
+    2. **Merge-on-read** — sparse residue (≤ ``_MOR_MAX_FRACTION`` of the
+       partially-affected files' rows): ONE equality-delete file with the
+       dying keys, no insert side, O(dying rows) bytes committed.
+    3. **Copy-on-write** — dense residue: rewrite the partially-affected
+       files keeping survivors (composite-bounded range layout, prior
+       deletes applied, commit validated against concurrent delete files
+       like every rewrite).
+
+    Returns None when no file can contain a matching row. Checkpointed
+    and conflict-validated like MERGE; ``changes_between`` surfaces the
+    removed rows as ``_change='delete'`` CDC records."""
+    assert mode in ("auto", "cow", "mor")
+    if not predicates:
+        raise ValueError("delete_where without predicates would drop the "
+                         "whole table; do that explicitly via predicates "
+                         "that match everything")
+    pass_id = pass_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointLog(table.root, pass_id, "delete")
+    if ckpt.pass_committed():
+        return table.current_snapshot()
+    adopted = _adopt_crashed_commit(table, ckpt, pass_id)
+    if adopted is not None:
+        return adopted
+    snap = table.current_snapshot()
+    entries = table.manifest_entries(snap)
+    affected = prune_files(entries, predicates)
+    if not affected:
+        return None
+    delete_entries = table.manifest_entries(snap, content="deletes")
+    full = [e for e in affected
+            if all(p.matches_all(e) for p in predicates)]
+    fullset = {e.path for e in full}
+    partial = [e for e in affected if e.path not in fullset]
+
+    removed: set[str] = set(fullset)
+    n_dead = sum(e.record_count for e in full)
+    staged: list[DataFile] = []
+    expected_dels: set[str] | None = None
+    rec = ckpt.get("rewrite")
+    if rec is not None:
+        for p in rec["output_files"]:
+            rows, size, stats = collect_parquet_stats(
+                os.path.join(table.root, p))
+            content = ("deletes" if os.path.basename(p).startswith("delete-")
+                       else "data")
+            staged.append(DataFile(p, rows, size, stats, content=content))
+        ext = rec.get("extra") or {}
+        removed = set(ext.get("removed", []))
+        n_dead = int(ext.get("deleted_rows", 0))
+        expected_dels = (set(ext["deletes"]) if "deletes" in ext else None)
+        use_mor = bool(ext.get("mor"))
+    elif partial:
+        from .scan import read_with_deletes
+        applicable = [d for d in delete_entries
+                      if any(e.sequence_number < d.sequence_number
+                             and conv_overlap(e, d) for e in partial)]
+        live_part = read_with_deletes(spark, table, partial, applicable)
+        match = predicates[0].to_column()
+        for p in predicates[1:]:
+            match = match & p.to_column()
+        match = F.coalesce(match, F.lit(False))  # NULL never matches
+        dead = live_part.filter(match).persist()
+        n_part_dead = dead.count()
+        part_rows = sum(e.record_count for e in partial)
+        n_dead += n_part_dead
+        use_mor = (mode == "mor"
+                   or (mode == "auto"
+                       and 0 < n_part_dead
+                       <= _MOR_MAX_FRACTION * part_rows))
+        if n_part_dead == 0:
+            pass  # residue empty: only the whole-file drops commit
+        elif use_mor:
+            staged = stage_dataframe(table, dead.select(*MERGE_KEYS),
+                                     num_files=1,
+                                     sort_cols=list(MERGE_KEYS),
+                                     content="deletes")
+        else:
+            removed |= {e.path for e in partial}
+            survivors = live_part.filter(~match)
+            num_files = max(1, round(sum(e.file_size_bytes
+                                         for e in partial) / target_bytes))
+            bounds = range_bounds_from_entries(partial, num_files,
+                                               "conv_id",
+                                               turn_col="turn_idx")
+            staged = stage_dataframe(table, survivors, num_files=num_files,
+                                     range_cols=list(MERGE_KEYS),
+                                     sort_cols=list(MERGE_KEYS),
+                                     bounds=bounds)
+            # survivors were copied under a fresh sequence number: a delete
+            # file landing concurrently must conflict (it could shadow a
+            # copied row) — same validateNoNewDeleteFiles rule as MERGE
+            expected_dels = {d.path for d in delete_entries}
+        dead.unpersist()
+        ckpt.record(TaskRecord(
+            pass_id, "delete", "rewrite",
+            input_files=sorted({e.path for e in affected}),
+            output_files=[e.path for e in staged],
+            rows=sum(e.record_count for e in staged),
+            bytes=sum(e.file_size_bytes for e in staged),
+            committed=False,
+            extra={"mor": use_mor, "removed": sorted(removed),
+                   "deleted_rows": n_dead,
+                   **({"deletes": sorted(expected_dels)}
+                      if expected_dels is not None else {})}))
+    else:
+        use_mor = False
+        ckpt.record(TaskRecord(
+            pass_id, "delete", "rewrite",
+            input_files=sorted(fullset), output_files=[],
+            committed=False,
+            extra={"mor": False, "removed": sorted(removed),
+                   "deleted_rows": n_dead}))
+
+    if not removed and not staged:
+        ckpt.finalize({"noop": True})
+        return None
+    from .format import CommitConflictError
+    try:
+        new_snap = table.commit(
+            "delete", added=staged, removed_paths=removed,
+            summary={"pass_id": pass_id, "deleted_rows": n_dead,
+                     **({"mor": True} if use_mor else {})},
+            expected_delete_paths=expected_dels)
+    except CommitConflictError:
+        ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
+        raise
+    ckpt.finalize({"snapshot_id": new_snap.snapshot_id})
+    return new_snap
+
+
 def impute_merge(spark: SparkSession, table: Table,
                  pass_id: str | None = None,
                  cand_idx: DataFrame | None = None,

@@ -199,6 +199,55 @@ class Predicate:
     op: str          # 'eq' | 'lt' | 'le' | 'gt' | 'ge' | 'in' | 'notnull'
     value: Any = None
 
+    def to_column(self) -> "F.Column":
+        """Row-level Spark expression for this predicate (the same
+        semantics the file-level pruning approximates): NULL-valued rows
+        never match (SQL three-valued logic collapses to False at the
+        filter)."""
+        c = F.col(self.column)
+        if self.op == "notnull":
+            return c.isNotNull()
+        if self.op == "in":
+            return c.isin(list(self.value))
+        ops = {"eq": c.__eq__, "lt": c.__lt__, "le": c.__le__,
+               "gt": c.__gt__, "ge": c.__ge__}
+        return ops[self.op](F.lit(self.value))
+
+    def matches_all(self, f: DataFile) -> bool:
+        """True only when the file's stats PROVE every row matches —
+        the gate for metadata-only whole-file operations (DELETE drops the
+        file without reading it, Iceberg's partition-predicate delete).
+        Conservative in the safe direction: False whenever unprovable
+        (missing stats, possible nulls, truncated string bounds make
+        min==max unprovable for long values)."""
+        st = f.stats.get(self.column)
+        if not st:
+            return False
+        if st.get("null_count") != 0:
+            return False  # a NULL row matches no predicate
+        if self.op == "notnull":
+            return True
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None or mx is None:
+            return False
+        v = self.value
+        try:
+            if self.op == "eq":
+                return mn == mx == v
+            if self.op == "in":
+                return mn == mx and mn in v
+            if self.op == "lt":
+                return mx < v
+            if self.op == "le":
+                return mx <= v
+            if self.op == "gt":
+                return mn > v
+            if self.op == "ge":
+                return mn >= v
+        except TypeError:
+            return False
+        return False
+
     def might_match(self, f: DataFile) -> bool:
         """Conservative: True unless the file's stats PROVE no row matches."""
         st = f.stats.get(self.column)
@@ -249,16 +298,20 @@ def scan(spark: SparkSession, table: Table,
          snapshot_id: int | None = None,
          predicates: list[Predicate] | None = None,
          columns: list[str] | None = None,
-         as_of_ms: int | None = None) -> DataFrame:
+         as_of_ms: int | None = None,
+         ref: str | None = None) -> DataFrame:
     """Read a pinned snapshot. File list comes ONLY from the snapshot's
     manifests (never a live directory listing), so concurrent maintenance
     commits are invisible — snapshot isolation. ``as_of_ms`` time-travels
-    to the latest snapshot committed at or before that timestamp
-    (mutually exclusive with ``snapshot_id``)."""
+    to the latest snapshot committed at or before that timestamp; ``ref``
+    reads a named branch head or tag (mutually exclusive with the other
+    two — the audit read of write-audit-publish)."""
     snap: Snapshot | None
-    if snapshot_id is not None and as_of_ms is not None:
-        raise ValueError("pass snapshot_id OR as_of_ms, not both")
-    if as_of_ms is not None:
+    if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+        raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
+    if ref is not None:
+        snap = table.ref_snapshot(ref)
+    elif as_of_ms is not None:
         snap = table.snapshot_as_of(as_of_ms)
     elif snapshot_id is None:
         snap = table.current_snapshot()

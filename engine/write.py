@@ -225,7 +225,12 @@ def append(table: Table, df: DataFrame,
            range_cols: list[str] | None = None,
            sort_cols: list[str] | None = None,
            summary: dict | None = None,
-           bounds: list | None = None) -> Snapshot:
+           bounds: list | None = None,
+           branch: str | None = None) -> Snapshot:
+    """``branch``: land the append on a named branch head instead of main
+    (write-audit-publish: ingest to an audit branch, quality-check via
+    ``scan(ref=...)``, publish with ``Table.fast_forward``)."""
     entries = stage_dataframe(table, df, num_files, range_cols, sort_cols,
                               bounds=bounds)
-    return table.commit("append", added=entries, summary=summary)
+    return table.commit("append", added=entries, summary=summary,
+                        branch=branch)

@@ -130,3 +130,64 @@ def test_metadata_planning_stays_fast_at_100k_files():
     bounds = range_bounds_from_entries(entries, 800, "conv_id")
     t_bounds = time.perf_counter() - t0
     assert len(bounds) == 799 and t_bounds < 1.5, t_bounds
+
+
+def test_rollback_to_restores_state_and_is_cdc_visible(spark,
+                                                       tmp_table_root):
+    """Snapshot rollback: a bad delete is undone by a metadata-only commit;
+    the restored state is byte-identical, the rollback surfaces as ordinary
+    CDC (the un-done changes reversed), and the bad snapshot's files become
+    sweepable after expiry."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from engine.maintain import expire_snapshots, sweep_orphans
+    from engine.merge import delete_where, merge_into
+    from engine.scan import Predicate, changes_between, scan
+    from engine.synth import generate_transcripts
+    from engine.write import append
+
+    df = generate_transcripts(spark, num_convs=30)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=4, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    good = t.current_snapshot().snapshot_id
+    want = sorted(map(tuple, scan(spark, t).collect()))
+
+    # the "bad" operation: a CoW delete of a third of the table
+    delete_where(spark, t, [Predicate("turn_idx", "ge", 5)],
+                 pass_id="rb-bad")
+    bad = t.current_snapshot().snapshot_id
+    assert scan(spark, t).count() < len(want)
+
+    snap = t.rollback_to(good)
+    assert snap.operation == "rollback"
+    assert snap.summary["rolled_back_to"] == good
+    assert sorted(map(tuple, scan(spark, t).collect())) == want
+    # CDC: good → rollback is a no-op; bad → rollback re-inserts the rows
+    assert changes_between(spark, t, good, snap.snapshot_id).count() == 0
+    ch = changes_between(spark, t, bad, snap.snapshot_id)
+    assert {r["_change"] for r in ch.select("_change").distinct().collect()} \
+        == {"insert"}
+    # rollback to the current snapshot is a no-op; unknown id raises
+    assert t.rollback_to(snap.snapshot_id).snapshot_id == snap.snapshot_id
+    with pytest.raises(KeyError):
+        t.rollback_to(9999)
+
+    # the table keeps working: a merge after rollback lands normally
+    src = (scan(spark, t).select("conv_id", "turn_idx")
+           .orderBy("conv_id", "turn_idx").limit(2)
+           .withColumn("upd_text", F.lit("post-rb")))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="rb-m",
+               mode="mor")
+    assert scan(spark, t).filter("text = 'post-rb'").count() == 2
+
+    # expire the bad lineage → its survivor-copy files become orphans
+    expire_snapshots(t, keep_last=2)
+    removed = sweep_orphans(spark, t, grace_seconds=0.0)
+    live = {e.path for e in t.manifest_entries(content="all")}
+    on_disk = {os.path.join("data", n) for n in os.listdir(t.data_dir)}
+    assert on_disk == live
+    assert removed  # the bad delete's staged survivors were collected

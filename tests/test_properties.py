@@ -118,3 +118,82 @@ def test_partition_reps_solve_property():
         assert len(set(reps)) == n
         for j, r in enumerate(reps):
             assert _murmur3_32(r) % n == j
+
+
+def _files_strategy():
+    """Manifest entries over a small conv universe, some single-conv (with
+    turn stats), some spanning ranges."""
+    def mk(i, kind, count, tmax):
+        conv = f"c{kind[0]:03d}"
+        if kind[0] == kind[1]:
+            stats = {"conv_id": {"min": conv, "max": conv},
+                     "turn_idx": {"min": 0, "max": tmax}}
+        else:
+            stats = {"conv_id": {"min": conv, "max": f"c{kind[1]:03d}"},
+                     "turn_idx": {"min": 0, "max": tmax}}
+        return DataFile(f"data/f{i}.parquet", count, count * 10, stats)
+    return st.lists(
+        st.tuples(st.tuples(st.integers(0, 9), st.integers(0, 9))
+                  .map(lambda p: (min(p), max(p))),
+                  st.integers(1, 5000), st.integers(0, 4999)),
+        min_size=1, max_size=12).map(
+        lambda specs: [mk(i, k, c, t) for i, (k, c, t) in enumerate(specs)])
+
+
+@DET
+@given(_files_strategy(), st.integers(2, 9))
+def test_range_bounds_composite_invariants(entries, num_files):
+    """Composite (conv, turn) boundaries are strictly increasing under the
+    lexicographic key, never exceed num_files-1, and the turn-free call
+    stays a subsequence-compatible conv-only list — the preconditions
+    bucket_expr's binary search and the part↔plan alignment rely on."""
+    from engine.write import range_bounds_from_entries
+
+    def key(b):
+        return (b[0], b[1]) if isinstance(b, tuple) else (b, float("-inf"))
+
+    for turn_col in (None, "turn_idx"):
+        bounds = range_bounds_from_entries(entries, num_files, "conv_id",
+                                           turn_col=turn_col)
+        assert bounds is not None
+        assert len(bounds) <= num_files - 1
+        keys = [key(b) for b in bounds]
+        assert keys == sorted(keys)
+        assert len(set(keys)) == len(keys)  # strictly increasing
+        if turn_col is None:
+            assert all(isinstance(b, str) for b in bounds)
+
+
+@DET
+@given(st.sampled_from(["eq", "lt", "le", "gt", "ge", "in", "notnull"]),
+       st.integers(0, 50), st.integers(0, 50), st.integers(0, 50),
+       st.integers(0, 3))
+def test_matches_all_is_sound(op, lo, hi, v, nulls):
+    """matches_all(file) == True must IMPLY every representable row of the
+    file matches the predicate (the metadata-only whole-file delete gate):
+    check against the boundary rows [min, max], which bound every value the
+    stats admit for the monotone ops."""
+    from engine.scan import Predicate
+
+    lo, hi = min(lo, hi), max(lo, hi)
+    f = DataFile("data/x.parquet", 10, 100,
+                 {"turn_idx": {"min": lo, "max": hi, "null_count": nulls}})
+    value = sorted({v, v + 3}) if op == "in" else v
+    p = Predicate("turn_idx", op, None if op == "notnull" else value)
+    if p.matches_all(f):
+        assert nulls == 0
+        for row in (lo, hi):
+            if op == "eq":
+                assert row == value
+            elif op == "in":
+                assert row in value
+            elif op == "lt":
+                assert row < value
+            elif op == "le":
+                assert row <= value
+            elif op == "gt":
+                assert row > value
+            elif op == "ge":
+                assert row >= value
+        # matches_all ⟹ might_match (all ⟹ some)
+        assert p.might_match(f)

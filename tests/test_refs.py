@@ -1,0 +1,140 @@
+"""Branches, tags and the write-audit-publish workflow (beyond-reference
+lakehouse completeness): ingest to an audit branch, quality-check it with
+``scan(ref=...)``, publish with a metadata-only fast-forward. Tags pin a
+reproducible input state (a training run's exact snapshot) against
+expiry."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.format import CommitConflictError, Table
+from engine.maintain import expire_snapshots, sweep_orphans
+from engine.scan import scan
+from engine.synth import generate_transcripts
+from engine.write import append
+
+from .conftest import sorted_rows
+
+
+def _setup(spark, root, convs=30):
+    df = generate_transcripts(spark, num_convs=convs)
+    t = Table.create(root)
+    append(t, df, num_files=3, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    return t, df
+
+
+def test_write_audit_publish_roundtrip(spark, tmp_table_root):
+    """The WAP happy path: branch commits are invisible on main until the
+    audit passes and fast_forward publishes — then main is byte-identical
+    to the audited state."""
+    t, df = _setup(spark, tmp_table_root)
+    main_before = sorted_rows(scan(spark, t))
+
+    t.create_branch("audit")
+    batch = (generate_transcripts(spark, num_convs=8)
+             .withColumn("conv_id", F.concat(F.lit("b-"), F.col("conv_id"))))
+    append(t, batch, num_files=1, branch="audit",
+           summary={"wap_batch": 1})
+    n_batch = batch.count()
+
+    # main unchanged; the audit read sees the staged batch
+    assert sorted_rows(scan(spark, t)) == main_before
+    audited = scan(spark, t, ref="audit")
+    assert audited.count() == len(main_before) + n_batch
+    # the "audit": no nulls in the batch's required columns
+    assert audited.filter("conv_id like 'b-%' and (role is null "
+                          "or text is null)").count() == 0
+
+    want = sorted_rows(audited)
+    pub = t.fast_forward("audit")
+    assert pub.snapshot_id == t.current_snapshot().snapshot_id
+    assert sorted_rows(scan(spark, t)) == want
+    t.drop_ref("audit")
+    assert "audit" not in t.refs()
+
+
+def test_fast_forward_rejects_diverged_main(spark, tmp_table_root):
+    """Publishing is a TRUE fast-forward only: if main moved after the
+    branch was cut, the publish conflicts instead of silently dropping
+    main's commits."""
+    t, df = _setup(spark, tmp_table_root)
+    t.create_branch("audit")
+    batch = (generate_transcripts(spark, num_convs=4)
+             .withColumn("conv_id", F.concat(F.lit("b-"), F.col("conv_id"))))
+    append(t, batch, num_files=1, branch="audit")
+    # main moves independently
+    other = (generate_transcripts(spark, num_convs=3)
+             .withColumn("conv_id", F.concat(F.lit("m-"), F.col("conv_id"))))
+    append(t, other, num_files=1)
+    main_rows = sorted_rows(scan(spark, t))
+
+    with pytest.raises(CommitConflictError):
+        t.fast_forward("audit")
+    assert sorted_rows(scan(spark, t)) == main_rows  # nothing moved
+
+
+def test_branch_commit_requires_branch_ref(spark, tmp_table_root):
+    t, df = _setup(spark, tmp_table_root)
+    batch = generate_transcripts(spark, num_convs=2)
+    with pytest.raises(KeyError):
+        append(t, batch, num_files=1, branch="nope")
+    t.create_tag("v1")
+    with pytest.raises(KeyError):
+        append(t, batch, num_files=1, branch="v1")  # tags are immutable
+    with pytest.raises(ValueError):
+        t.create_tag("v1")  # duplicate name
+
+
+def test_tag_pins_snapshot_against_expiry(spark, tmp_table_root):
+    """A tagged snapshot (and its files) survives keep_last=1 expiry +
+    grace-0 sweep until the tag is dropped."""
+    t, df = _setup(spark, tmp_table_root)
+    tagged_sid = t.current_snapshot().snapshot_id
+    t.create_tag("train-v1")
+    tagged_rows = sorted_rows(scan(spark, t))
+
+    # a full rewrite replaces every data file on main
+    from engine.maintain import cluster
+    cluster(spark, t, "zorder", target_bytes=1 << 30, pass_id="rf-cl")
+    expire_snapshots(t, keep_last=1)
+    sweep_orphans(spark, t, grace_seconds=0.0)
+
+    # the tagged snapshot is still in the log and fully readable
+    assert tagged_sid in {s.snapshot_id for s in t.snapshots()}
+    assert sorted_rows(scan(spark, t, ref="train-v1")) == tagged_rows
+    for e in t.manifest_entries(t.snapshot(tagged_sid)):
+        assert os.path.exists(os.path.join(t.root, e.path))
+
+    # dropping the tag releases it: expiry + sweep collect the old files
+    t.drop_ref("train-v1")
+    expire_snapshots(t, keep_last=1)
+    sweep_orphans(spark, t, grace_seconds=0.0)
+    assert tagged_sid not in {s.snapshot_id for s in t.snapshots()}
+    live = {e.path for e in t.manifest_entries(content="all")}
+    on_disk = {os.path.join("data", n) for n in os.listdir(t.data_dir)}
+    assert on_disk == live
+
+
+def test_branch_isolation_under_concurrent_main_maintenance(
+        spark, tmp_table_root):
+    """Maintenance on main (compaction) and a branch append interleave
+    without clobbering each other: snapshot ids stay unique, both lineages
+    stay readable, and the diverged branch simply cannot fast-forward."""
+    from engine.maintain import compact
+
+    t, df = _setup(spark, tmp_table_root)
+    t.create_branch("audit")
+    batch = (generate_transcripts(spark, num_convs=5)
+             .withColumn("conv_id", F.concat(F.lit("b-"), F.col("conv_id"))))
+    append(t, batch, num_files=2, branch="audit")
+    compact(spark, t, target_bytes=1 << 30, pass_id="rf-cp")
+
+    sids = [s.snapshot_id for s in t.snapshots()]
+    assert len(sids) == len(set(sids))
+    assert scan(spark, t, ref="audit").count() == df.count() + batch.count()
+    assert scan(spark, t).count() == df.count()
+    with pytest.raises(CommitConflictError):
+        t.fast_forward("audit")
