@@ -361,7 +361,8 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                curve_bounds_list: list | None = None,
                ts_bounds: tuple[int, int] | None = None,
                mode: str = "auto",
-               isolation: str = "snapshot") -> Snapshot:
+               isolation: str = "snapshot",
+               branch: str | None = None) -> Snapshot:
     """MERGE INTO table USING source ON (conv_id, turn_idx)
     WHEN MATCHED THEN UPDATE SET col = coalesce(source.upd_col, col).
 
@@ -418,7 +419,8 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "merge")
     if ckpt.pass_committed():
-        return table.current_snapshot()
+        return (table.ref_snapshot(branch) if branch
+                else table.current_snapshot())
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
@@ -453,7 +455,8 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             broadcast_source = source_bytes <= BROADCAST_MAX_BYTES
 
     t_meta = time.time()
-    snap = table.current_snapshot()
+    snap = (table.ref_snapshot(branch) if branch
+            else table.current_snapshot())
     entries = table.manifest_entries(snap)
     affected = prune_files(entries, preds)
     affected_paths = [e.path for e in affected]
@@ -592,7 +595,8 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                                          **({"mor": True} if use_mor
                                             else {})},
                                 expected_delete_paths=expected_dels,
-                                conflict_key_ranges=mor_key_ranges)
+                                conflict_key_ranges=mor_key_ranges,
+                                branch=branch)
     except CommitConflictError:
         # a concurrent pass replaced our input files mid-rewrite: committing
         # would resurrect their rows through our staged copies. Abandon the

@@ -29,15 +29,23 @@ TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
 
 
 def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
-                 batch_id: int, target_files: int | None = None) -> None:
+                 batch_id: int, target_files: int | None = None,
+                 branch: str | None = None) -> None:
     """One micro-batch → one snapshot. Rows whose (conv_id, turn_idx) already
     exist update in place (late re-delivery / edits → MERGE); new keys append
-    as fresh data files. Idempotent per batch_id."""
+    as fresh data files. Idempotent per batch_id.
+
+    ``branch``: streaming write-audit-publish — every micro-batch lands on
+    the named branch head (both the MERGE and the append sides plan
+    against the BRANCH state, so stacked batches compose); main is
+    untouched until ``Table.fast_forward`` publishes the audited stream."""
     batch = batch.dropDuplicates(list(MERGE_KEYS)).persist()
-    if table.current_snapshot() is None:
+    head = (table.ref_snapshot(branch) if branch
+            else table.current_snapshot())
+    if head is None:
         append(table, batch, num_files=target_files or 1,
                range_cols=list(MERGE_KEYS), sort_cols=list(MERGE_KEYS),
-               summary={"stream_batch": batch_id})
+               summary={"stream_batch": batch_id}, branch=branch)
         batch.unpersist()
         return
     from .scan import prune_files, scan
@@ -49,12 +57,13 @@ def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
     # over a large drop) can carry millions of conversations — a bare
     # distinct().collect() would land them all on the driver.
     preds, _, _ = _source_predicates(batch)
-    entries = prune_files(table.manifest_entries(), preds)
+    entries = prune_files(table.manifest_entries(head), preds)
     if entries:
         # pruned scan: only files whose stats intersect the batch's keys;
         # join side left to AQE (the batch may be backlog-sized — forcing a
         # broadcast here has the same failure mode as the key collect)
-        existing = scan(spark, table, predicates=preds) \
+        existing = scan(spark, table, predicates=preds,
+                        snapshot_id=head.snapshot_id) \
             .select(*MERGE_KEYS) \
             .join(batch.select(*MERGE_KEYS), list(MERGE_KEYS), "left_semi")
         upd = batch.join(existing, list(MERGE_KEYS), "left_semi")
@@ -74,11 +83,12 @@ def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
         merge_into(spark, table, src,
                    {"role": "upd_role", "text": "upd_text",
                     "tool": "upd_tool"},
-                   pass_id=f"stream-{batch_id}-upd")
+                   pass_id=f"stream-{batch_id}-upd", branch=branch)
     if ins.limit(1).count():
         append(table, ins, num_files=target_files or 1,
                range_cols=list(MERGE_KEYS), sort_cols=list(MERGE_KEYS),
-               summary={"stream_batch": batch_id, "inserted": True})
+               summary={"stream_batch": batch_id, "inserted": True},
+               branch=branch)
     batch.unpersist()
 
 
@@ -109,17 +119,20 @@ def turn_rate_stream(stream: DataFrame,
 
 
 def start_ingest(spark: SparkSession, table: Table, source_dir: str,
-                 checkpoint_dir: str, trigger_once: bool = True):
+                 checkpoint_dir: str, trigger_once: bool = True,
+                 branch: str | None = None):
     """File-source stream of transcript parquet drops → foreachBatch commits.
 
     ``trigger_once`` processes the backlog and stops (the batch-maintenance
-    cadence); pass False for continuous micro-batches."""
+    cadence); pass False for continuous micro-batches. ``branch`` routes
+    every micro-batch onto an audit branch (streaming write-audit-publish)."""
     stream = (spark.readStream.schema(TRANSCRIPT_DDL)
               .option("maxFilesPerTrigger", "64")
               .parquet(source_dir))
     writer = (stream.writeStream
               .option("checkpointLocation", checkpoint_dir)
-              .foreachBatch(lambda b, bid: ingest_batch(spark, table, b, bid)))
+              .foreachBatch(lambda b, bid: ingest_batch(spark, table, b, bid,
+                                                        branch=branch)))
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -138,3 +138,41 @@ def test_branch_isolation_under_concurrent_main_maintenance(
     assert scan(spark, t).count() == df.count()
     with pytest.raises(CommitConflictError):
         t.fast_forward("audit")
+
+
+def test_streaming_wap_batches_compose_on_branch(spark, tmp_table_root):
+    """Streaming write-audit-publish: micro-batches land on the audit
+    branch and PLAN against the branch state — a batch editing keys that
+    exist only on the branch must MERGE them there (branch-blind planning
+    would misclassify them as inserts and duplicate the keys). Main stays
+    frozen until fast_forward."""
+    from engine.streaming import ingest_batch
+
+    t, df = _setup(spark, tmp_table_root)
+    main_rows = sorted_rows(scan(spark, t))
+    t.create_branch("audit")
+
+    b1 = (generate_transcripts(spark, num_convs=6)
+          .withColumn("conv_id", F.concat(F.lit("s-"), F.col("conv_id"))))
+    ingest_batch(spark, t, b1, batch_id=100, branch="audit")
+    n_b1 = b1.count()
+
+    # batch 2: edit two keys that exist ONLY on the branch + new convs
+    edits = (b1.orderBy("conv_id", "turn_idx").limit(2)
+             .withColumn("text", F.lit("branch-edit")))
+    news = (generate_transcripts(spark, num_convs=3)
+            .withColumn("conv_id", F.concat(F.lit("s2-"), F.col("conv_id"))))
+    ingest_batch(spark, t, edits.unionByName(news), batch_id=101,
+                 branch="audit")
+
+    assert sorted_rows(scan(spark, t)) == main_rows  # main frozen
+    audited = scan(spark, t, ref="audit")
+    assert audited.count() == len(main_rows) + n_b1 + news.count()
+    assert audited.filter("text = 'branch-edit'").count() == 2
+    # no duplicated keys from branch-blind planning
+    assert audited.groupBy("conv_id", "turn_idx").count() \
+                  .filter("count > 1").count() == 0
+
+    want = sorted_rows(audited)
+    t.fast_forward("audit")
+    assert sorted_rows(scan(spark, t)) == want
