@@ -690,7 +690,10 @@ def delete_where(spark: SparkSession, table: Table,
         match = predicates[0].to_column()
         for p in predicates[1:]:
             match = match & p.to_column()
-        match = F.coalesce(match, F.lit(False))  # NULL never matches
+        # dead side: a bare filter already treats NULL as no-match AND
+        # leaves the conjuncts pushable to the parquet scan; the survivor
+        # side needs the explicit NULL collapse (NOT over three-valued
+        # logic would silently drop null-columned rows)
         dead = live_part.filter(match).persist()
         n_part_dead = dead.count()
         part_rows = sum(e.record_count for e in partial)
@@ -708,7 +711,8 @@ def delete_where(spark: SparkSession, table: Table,
                                      content="deletes")
         else:
             removed |= {e.path for e in partial}
-            survivors = live_part.filter(~match)
+            survivors = live_part.filter(
+                ~F.coalesce(match, F.lit(False)))
             num_files = max(1, round(sum(e.file_size_bytes
                                          for e in partial) / target_bytes))
             bounds = range_bounds_from_entries(partial, num_files,

@@ -182,3 +182,56 @@ def test_mor_scan_plans(spark, tmp_path):
     rs = [line for line in pruned.splitlines() if "ReadSchema" in line]
     base_rs = [r for r in rs if "role" in r]
     assert base_rs and all("text" not in r for r in base_rs)
+
+
+def test_delete_where_cow_survivor_plan_is_jvm_only(spark, tmp_path):
+    """The dense-delete survivor rewrite must stay whole-JVM (no Python
+    eval) and read through the same delete-applied plan shape as scans."""
+    from engine.format import Table
+    from engine.scan import Predicate, read_with_deletes
+    from engine.synth import generate_transcripts
+    from engine.write import append
+
+    t = Table.create(str(tmp_path / "tbl"))
+    df = generate_transcripts(spark, num_convs=20)
+    append(t, df, num_files=3, range_cols=["conv_id", "turn_idx"])
+    entries = t.manifest_entries()
+    live = read_with_deletes(spark, t, entries, [])
+    match = Predicate("turn_idx", "ge", 3).to_column()
+    # the DEAD side (bare filter) pushes its conjuncts to the parquet scan
+    dead_p = plan_of(live.filter(match))
+    assert "PushedFilters" in dead_p and "GreaterThanOrEqual(turn_idx" \
+        in dead_p
+    # the survivor side carries the explicit NULL collapse and stays JVM
+    surv_p = plan_of(live.filter(~F.coalesce(match, F.lit(False))))
+    assert "BatchEvalPython" not in surv_p
+    assert "ArrowEvalPython" not in surv_p
+
+
+def test_folded_delete_scan_keeps_broadcast_anti_join(spark, tmp_path):
+    """After compact_deletes, the scan's delete application still plans as
+    a broadcast anti-join (the folded file's row-level __delete_seq rides
+    the tiny delete side, never the data side)."""
+    from engine.format import Table
+    from engine.maintain import compact_deletes
+    from engine.merge import merge_into
+    from engine.scan import scan
+    from engine.synth import generate_transcripts
+    from engine.write import append
+
+    t = Table.create(str(tmp_path / "tbl"))
+    df = generate_transcripts(spark, num_convs=30)
+    append(t, df, num_files=4, range_cols=["conv_id", "turn_idx"])
+    for i in range(2):
+        src = (scan(spark, t).select("conv_id", "turn_idx")
+               .orderBy("conv_id", "turn_idx").offset(i * 2).limit(2)
+               .withColumn("upd_text", F.lit(f"g{i}")))
+        merge_into(spark, t, src, {"text": "upd_text"}, pass_id=f"m{i}",
+                   mode="mor")
+    compact_deletes(spark, t, pass_id="fold")
+
+    p = plan_of(scan(spark, t))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    # __delete_seq never leaks into the scan's output schema
+    out_cols = scan(spark, t).columns
+    assert "__delete_seq" not in out_cols

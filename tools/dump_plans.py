@@ -138,6 +138,36 @@ def main() -> None:
         "with no join at all (zero MoR overhead on the steady-state scan).",
         plan_of(scan(spark, t))))
 
+    from engine.maintain import compact_deletes
+    merge_into(spark, t, (table_df.select("conv_id", "turn_idx")
+                          .orderBy(F.desc("conv_id"), "turn_idx").limit(3)
+                          .withColumn("upd_text", F.lit("g2"))),
+               {"text": "upd_text"}, pass_id="plans-mor2", mode="mor")
+    compact_deletes(spark, t, pass_id="plans-fold")
+    sections.append((
+        "Scan over a FOLDED delete backlog (compact_deletes)",
+        "N tiny delete files folded to ONE with each row's original "
+        "sequence materialized as __delete_seq: the scan still plans the "
+        "same broadcast hash anti-join — the row-level sequence rides the "
+        "tiny delete side (coalesced with the file-level map), never the "
+        "data side, and never leaks into the output schema.",
+        plan_of(scan(spark, t))))
+
+    from engine.scan import read_with_deletes
+    live = read_with_deletes(spark, t, t.manifest_entries(),
+                             t.manifest_entries(content="deletes"))
+    match = Predicate("turn_idx", "ge", 40).to_column()
+    sections.append((
+        "DELETE WHERE survivor rewrite (dense residue)",
+        "Row-level DELETE's copy-on-write tier: the dead-side probe is a "
+        "bare filter whose conjuncts push to the parquet scan; the "
+        "survivor side carries an explicit NULL collapse (three-valued NOT "
+        "would silently drop null-columned rows) and stays 100% JVM. The "
+        "sparse tier commits an equality-delete tombstone instead (same "
+        "plan as the MoR scan above); whole-file drops never plan a scan "
+        "at all.",
+        plan_of(live.filter(~F.coalesce(match, F.lit(False))))))
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
     with open(os.path.join(here, "BENCH", "PLANS.md"), "w") as f:
