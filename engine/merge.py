@@ -617,7 +617,8 @@ def delete_where(spark: SparkSession, table: Table,
                  predicates: list[Predicate],
                  pass_id: str | None = None,
                  mode: str = "auto",
-                 target_bytes: int = 128 * 1024 * 1024) -> Snapshot | None:
+                 target_bytes: int = 128 * 1024 * 1024,
+                 branch: str | None = None) -> Snapshot | None:
     """DELETE FROM table WHERE <predicates> — row-level deletion, the
     training-data lake's compliance/contamination-purge op (opt-outs,
     benchmark-contaminated conversations, licensing takedowns). The
@@ -640,7 +641,9 @@ def delete_where(spark: SparkSession, table: Table,
 
     Returns None when no file can contain a matching row. Checkpointed
     and conflict-validated like MERGE; ``changes_between`` surfaces the
-    removed rows as ``_change='delete'`` CDC records."""
+    removed rows as ``_change='delete'`` CDC records. ``branch``: plan
+    against and commit onto a named branch head (audit a purge with
+    ``scan(ref=...)`` before ``fast_forward`` publishes it)."""
     assert mode in ("auto", "cow", "mor")
     if not predicates:
         raise ValueError("delete_where without predicates would drop the "
@@ -649,11 +652,13 @@ def delete_where(spark: SparkSession, table: Table,
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "delete")
     if ckpt.pass_committed():
-        return table.current_snapshot()
+        return (table.ref_snapshot(branch) if branch
+                else table.current_snapshot())
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
-    snap = table.current_snapshot()
+    snap = (table.ref_snapshot(branch) if branch
+            else table.current_snapshot())
     entries = table.manifest_entries(snap)
     affected = prune_files(entries, predicates)
     if not affected:
@@ -756,7 +761,7 @@ def delete_where(spark: SparkSession, table: Table,
             "delete", added=staged, removed_paths=removed,
             summary={"pass_id": pass_id, "deleted_rows": n_dead,
                      **({"mor": True} if use_mor else {})},
-            expected_delete_paths=expected_dels)
+            expected_delete_paths=expected_dels, branch=branch)
     except CommitConflictError:
         ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
         raise

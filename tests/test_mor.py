@@ -247,6 +247,10 @@ def test_mor_cow_equivalence_under_random_op_sequence(spark, tmp_table_root,
                 .withColumn("upd_role", F.when(F.lit(step % 2 == 0),
                                                F.lit(f"r{step}"))))
 
+    from engine.maintain import compact_deletes
+    from engine.merge import delete_where
+    from engine.scan import Predicate
+
     for step in range(6):
         src = sparse_src(step).persist()
         merge_into(spark, t_mor, src, {"text": "upd_text",
@@ -256,6 +260,16 @@ def test_mor_cow_equivalence_under_random_op_sequence(spark, tmp_table_root,
                                        "role": "upd_role"},
                    pass_id=f"fz-c{step}", mode="cow")
         src.unpersist()
+        if rng.random() < 0.4:
+            # the SAME logical row-level delete, MoR tombstone vs CoW
+            # survivor rewrite — delete_where joins the equivalence fuzz
+            preds = [Predicate("conv_id", "eq",
+                               f"conv-{rng.randrange(40):08d}"),
+                     Predicate("turn_idx", "le", rng.randrange(2, 9))]
+            delete_where(spark, t_mor, preds, pass_id=f"fz-dm{step}",
+                         mode="mor")
+            delete_where(spark, t_cow, preds, pass_id=f"fz-dc{step}",
+                         mode="cow")
         maint = rng.random()
         if maint < 0.3:
             compact(spark, t_mor, target_bytes=1 << 30,
@@ -265,6 +279,8 @@ def test_mor_cow_equivalence_under_random_op_sequence(spark, tmp_table_root,
         elif maint < 0.6:
             cluster(spark, t_mor, "zorder", target_bytes=1 << 20,
                     pass_id=f"fz-cl{step}")
+        elif maint < 0.75:
+            compact_deletes(spark, t_mor, pass_id=f"fz-fd{step}")
         got = sorted_rows(scan(spark, t_mor))
         want = sorted_rows(scan(spark, t_cow))
         assert got == want, f"diverged at step {step}"

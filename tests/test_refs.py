@@ -176,3 +176,27 @@ def test_streaming_wap_batches_compose_on_branch(spark, tmp_table_root):
     want = sorted_rows(audited)
     t.fast_forward("audit")
     assert sorted_rows(scan(spark, t)) == want
+
+
+def test_delete_on_branch_audited_before_publish(spark, tmp_table_root):
+    """WAP for a compliance purge: delete on the audit branch, verify the
+    rows are gone there while main still serves them, then publish."""
+    from engine.merge import delete_where
+    from engine.scan import Predicate
+
+    t, df = _setup(spark, tmp_table_root)
+    total = df.count()
+    conv = "conv-00000004"
+    n_conv = df.filter(F.col("conv_id") == conv).count()
+    t.create_branch("audit")
+
+    snap = delete_where(spark, t, [Predicate("conv_id", "eq", conv)],
+                        pass_id="rb-del", branch="audit")
+    assert snap is not None and snap.summary["deleted_rows"] == n_conv
+    assert scan(spark, t).count() == total                 # main serves all
+    audited = scan(spark, t, ref="audit")
+    assert audited.count() == total - n_conv
+    assert audited.filter(F.col("conv_id") == conv).count() == 0
+
+    t.fast_forward("audit")
+    assert scan(spark, t).count() == total - n_conv
