@@ -771,15 +771,21 @@ class Table:
             if target is None:
                 raise KeyError(f"snapshot {snapshot_id} not found "
                                "(expired?)")
-            parent = meta["current_snapshot_id"]
-            if parent == snapshot_id:
+            cur = meta["current_snapshot_id"]
+            if cur == snapshot_id:
                 return Snapshot.from_json(target)  # already there: no-op
             sid = max(s["snapshot_id"] for s in meta["snapshots"]) + 1
             snap = Snapshot(
-                snapshot_id=sid, parent_id=parent,
+                snapshot_id=sid,
+                # parent = the TARGET, not the pre-rollback head: the
+                # parent chain records CONTENT lineage, so the rolled-over
+                # snapshots correctly stop being current ancestors
+                # (history view) and fast_forward's ancestor walk agrees
+                parent_id=snapshot_id,
                 timestamp_ms=int(time.time() * 1000),
                 operation="rollback", manifests=list(target["manifests"]),
                 summary={"rolled_back_to": snapshot_id,
+                         "rolled_back_from": cur,
                          "added_files": 0, "removed_files": 0})
             meta["snapshots"].append(snap.to_json())
             meta["current_snapshot_id"] = sid

@@ -771,7 +771,8 @@ def run_maintenance(spark: SparkSession, table: Table,
                     grace_seconds: float = 3600.0,
                     pass_id: str | None = None,
                     separate_compaction: bool = True,
-                    collect_metrics: bool = True) -> dict:
+                    collect_metrics: bool = True,
+                    delete_backlog_fraction: float = 0.02) -> dict:
     """The full pass benchmarked in bench.py: impute-MERGE → compact →
     cluster → rewrite manifests → expire snapshots → orphan sweep.
 
@@ -787,6 +788,19 @@ def run_maintenance(spark: SparkSession, table: Table,
     are unprotected until their checkpoint record lands, so an immediate
     sweep (0.0) is only safe when the caller knows no other writer is live
     (the bench does, and passes 0 explicitly).
+
+    ``delete_backlog_fraction`` is the merge-on-read cadence policy: every
+    pass FOLDS the delete backlog to one file (``compact_deletes``,
+    metadata-cheap), but the data-rewriting major compaction
+    (``rewrite_deletes``) runs only when the backlog's key count reaches
+    this fraction of the table's physical rows — below it, scans pay one
+    small anti-join (~0.3 µs/row measured) instead of the cadence paying a
+    full rewrite of every shadowed file per pass, which is the wrong
+    economics at 100 TB. Retirement also fires when it is FREE: once
+    compaction has replaced every file the backlog could shadow (all data
+    sequences newer), rewrite_deletes degenerates to a metadata-only
+    commit that drops the delete files. Pass 0.0 to force the major
+    compaction every pass (the pre-round-5 behavior).
     """
     from .merge import impute_merge
     pass_id = pass_id or uuid.uuid4().hex[:8]
@@ -807,11 +821,25 @@ def run_maintenance(spark: SparkSession, table: Table,
     out["merge_s"] = round(time.time() - t0, 3)
     t0 = time.time()
     if separate_compaction:
-        # fold any merge-on-read delete backlog first (no-op without
-        # deletes), then bin-pack small files; the fused path needs neither
-        # (its full CoW rewrite already folded and retired the deletes)
-        rewrite_deletes(spark, table, target_bytes,
-                        pass_id=f"{pass_id}-rwdel")
+        # merge-on-read backlog cadence (policy in the docstring): FOLD
+        # every pass; MAJOR-compact only past the backlog threshold or
+        # when retirement is metadata-free. The fused path needs neither
+        # (its full CoW rewrite already folded and retired the deletes).
+        compact_deletes(spark, table, pass_id=f"{pass_id}-folddel")
+        dels = table.manifest_entries(content="deletes")
+        if dels:
+            from .scan import conv_overlap
+            data = table.manifest_entries()
+            affected = [e for e in data
+                        if any(e.sequence_number < d.sequence_number
+                               and conv_overlap(e, d) for d in dels)]
+            del_rows = sum(d.record_count for d in dels)
+            total_rows = sum(e.record_count for e in data)
+            if (not affected
+                    or del_rows >= delete_backlog_fraction
+                    * max(1, total_rows)):
+                rewrite_deletes(spark, table, target_bytes,
+                                pass_id=f"{pass_id}-rwdel")
         out["rewrite_deletes_s"] = round(time.time() - t0, 3)
         t0 = time.time()
         compact(spark, table, target_bytes, pass_id=f"{pass_id}-compact")

@@ -177,8 +177,11 @@ def test_full_cow_rewrite_retires_deletes(spark, tmp_table_root):
 
 def test_maintenance_pass_over_mor_backlog(spark, tmp_table_root):
     """run_maintenance(separate_compaction=True) over a table with a MoR
-    backlog: rewrite_deletes folds it, everything stays green, and the
-    grace-0 sweep leaves only live files."""
+    backlog, exercising the round-5 cadence POLICY: a tiny backlog (below
+    ``delete_backlog_fraction``) is FOLDED but not major-compacted on the
+    first pass; after compaction replaces every shadowed file, the next
+    pass retires it via the metadata-free branch. Forcing fraction=0.0
+    reproduces the old always-major behavior."""
     from engine.synth import inject_missing
     df = generate_transcripts(spark, num_convs=60)
     injected, wl = inject_missing(df)
@@ -193,12 +196,46 @@ def test_maintenance_pass_over_mor_backlog(spark, tmp_table_root):
     res = scan(spark, t)
     assert res.filter("role is null or text is null").count() == 0
     assert res.filter("text = 'late-edit'").count() == 5
+    # the 5-row backlog is way below the 2% threshold: folded to ≤1 file,
+    # not yet major-compacted (unless compaction already made retirement
+    # free, in which case it is already gone — both are policy-correct)
+    assert scan_stats(t).get("delete_files", 0) <= 1
+    # second pass: compaction replaced the shadowed files, so retirement
+    # is metadata-free and fires regardless of the threshold
+    run_maintenance(spark, t, target_bytes=1 << 20,
+                    separate_compaction=True, keep_last=1,
+                    grace_seconds=0.0)
     assert "delete_files" not in scan_stats(t)
+    assert scan(spark, t).filter("text = 'late-edit'").count() == 5
     sweep_orphans(spark, t, grace_seconds=0.0)
     import os
     live = {e.path for e in t.manifest_entries(content="all")}
     on_disk = {os.path.join("data", n) for n in os.listdir(t.data_dir)}
     assert on_disk == live
+
+
+def test_maintenance_backlog_threshold_forces_major(spark, tmp_table_root):
+    """A backlog ABOVE delete_backlog_fraction triggers the major
+    compaction in the same pass; fraction=0.0 forces it for any backlog."""
+    t, df = _setup(spark, tmp_table_root)
+    # ~30% of rows late-edited → far above the 2% default threshold
+    n = int(df.count() * 0.3)
+    merge_into(spark, t, _sparse_source(spark, t, n=n, tag="bulk-edit"),
+               {"text": "upd_text"}, pass_id="th0", mode="mor")
+    run_maintenance(spark, t, target_bytes=1 << 20,
+                    separate_compaction=True, keep_last=1,
+                    grace_seconds=0.0)
+    assert "delete_files" not in scan_stats(t)
+    assert scan(spark, t).filter("text = 'bulk-edit'").count() == n
+
+    # tiny backlog + fraction=0.0 → also retired in one pass
+    merge_into(spark, t, _sparse_source(spark, t, n=2, tag="tiny"),
+               {"text": "upd_text"}, pass_id="th1", mode="mor")
+    run_maintenance(spark, t, target_bytes=1 << 20,
+                    separate_compaction=True, keep_last=1,
+                    grace_seconds=0.0, delete_backlog_fraction=0.0)
+    assert "delete_files" not in scan_stats(t)
+    assert scan(spark, t).filter("text = 'tiny'").count() == 2
 
 
 def test_mor_scan_predicate_pruning_still_correct(spark, tmp_table_root):

@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--grace-seconds", type=float, default=3600.0)
     ap.add_argument("--pass-id", default=None,
                     help="stable id to resume a crashed pass")
+    ap.add_argument("--delete-backlog-fraction", type=float, default=0.02,
+                    help="merge-on-read cadence policy: major-compact the "
+                         "delete backlog only past this fraction of table "
+                         "rows (0.0 = every pass)")
     ap.add_argument("--separate-compaction", action="store_true",
                     help="compact/cluster as standalone passes instead of "
                          "fusing the clustering into the MERGE rewrite")
@@ -78,6 +82,7 @@ def main() -> None:
                           strategy=args.strategy,
                           keep_last=args.keep_last,
                           grace_seconds=args.grace_seconds,
+                          delete_backlog_fraction=args.delete_backlog_fraction,
                           pass_id=args.pass_id,
                           separate_compaction=args.separate_compaction)
     if args.json:
