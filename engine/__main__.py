@@ -13,6 +13,8 @@ Commands
                                         (compliance purge of a conversation)
     compact-deletes <table_root>        MINOR delete compaction (metadata-cheap)
     add-column <table_root> <name> <type>  additive schema evolution
+    add-constraint <table_root> <name> <sql_expr>  CHECK constraint
+    drop-constraint <table_root> <name>
     cluster  <table_root> [zorder|hilbert]
     rollback <table_root> <snapshot_id> undo to an earlier retained snapshot
     branch   <table_root> <name>        cut an audit branch at current
@@ -83,6 +85,14 @@ def main(argv: list[str]) -> int:
             snap = compact_deletes(spark, Table(root))
             print(json.dumps({"snapshot":
                               snap.snapshot_id if snap else None}))
+        elif cmd == "add-constraint":
+            t = Table(root)
+            t.add_constraint(argv[2], argv[3])
+            print(json.dumps({"constraints": t.constraints()}))
+        elif cmd == "drop-constraint":
+            t = Table(root)
+            t.drop_constraint(argv[2])
+            print(json.dumps({"constraints": t.constraints()}))
         elif cmd == "add-column":
             t = Table(root)
             t.add_column(argv[2], argv[3])

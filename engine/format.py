@@ -42,6 +42,12 @@ import pyarrow.parquet as pq
 _MAX_BOUND_LEN = 64
 
 
+class ConstraintViolation(RuntimeError):
+    """A write produced rows violating a registered CHECK constraint. The
+    staged files are discarded and nothing commits — bad data never becomes
+    a snapshot (Delta-style enforcement at the write boundary)."""
+
+
 class CommitConflictError(RuntimeError):
     """A commit tried to remove data files that are no longer referenced by
     the current snapshot — a concurrent pass (compaction, clustering, another
@@ -639,6 +645,54 @@ class Table:
         meta["version"] = meta["version"] + 1
         self._write_version(meta["version"], meta)
         return snap
+
+    # ----------------------------------------------------------- constraints
+    def constraints(self) -> dict[str, str]:
+        """Registered CHECK constraints: ``{name: sql_boolean_expr}``."""
+        return self.load_metadata().get("constraints", {})
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Register a CHECK constraint (Delta-style): a Spark SQL boolean
+        expression every FUTURE written row must satisfy — appends, MERGE
+        outputs and streaming batches that stage a violating row raise
+        ``ConstraintViolation`` and commit nothing. Metadata-only and
+        versioned; existing data is NOT retro-validated (run
+        ``engine.write.check_constraints`` for an audit of what is already
+        in the table). The training-data use: schema-level quality gates
+        (`role IN (...)`, `length(text) < 1e6`, `turn_idx >= 0`) enforced
+        at the lake boundary instead of in every producer."""
+        lock = self._acquire_commit_lock()
+        try:
+            meta = self.load_metadata()
+            cons = meta.get("constraints", {})
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists")
+            cons[name] = expr
+            meta["constraints"] = cons
+            meta["version"] = meta["version"] + 1
+            self._write_version(meta["version"], meta)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def drop_constraint(self, name: str) -> None:
+        lock = self._acquire_commit_lock()
+        try:
+            meta = self.load_metadata()
+            cons = meta.get("constraints", {})
+            if name not in cons:
+                raise KeyError(f"constraint {name!r} not found")
+            del cons[name]
+            meta["constraints"] = cons
+            meta["version"] = meta["version"] + 1
+            self._write_version(meta["version"], meta)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     # ------------------------------------------------------------------ refs
     def refs(self) -> dict[str, dict]:

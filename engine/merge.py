@@ -585,7 +585,16 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
         # validateNoNewDeleteFiles)
         expected_dels = {d.path for d in delete_entries}
 
-    from .format import CommitConflictError
+    from .format import CommitConflictError, ConstraintViolation
+    from .write import enforce_constraints
+    try:
+        enforce_constraints(
+            spark, table, staged,
+            on_violation=lambda n, x: ckpt.abandon(
+                {"constraint": n, "expr": x}))
+    except ConstraintViolation:
+        source.unpersist()
+        raise
     mor_key_ranges = ([e for e in staged if e.content == "deletes"]
                       if use_mor and expected_dels is not None else None)
     try:

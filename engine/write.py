@@ -220,6 +220,59 @@ def stage_dataframe(table: Table, df: DataFrame,
     return entries
 
 
+def enforce_constraints(spark, table: Table, staged: list[DataFile],
+                        on_violation=None) -> None:
+    """CHECK-constraint gate for freshly staged files (Delta-style write
+    boundary): read back ONLY the staged data files (columnar, no lineage
+    recompute — the batch's DAG never runs twice) and probe each
+    registered constraint with a limit-1 violation scan. On the first
+    violating row: run ``on_violation`` (checkpoint abandon for merges),
+    unlink the staged files, raise ``ConstraintViolation`` with the
+    offending row — nothing commits. Zero cost when no constraint is
+    registered (the common case and the benched maintenance path)."""
+    from pyspark.sql import functions as F
+
+    from .format import ConstraintViolation
+    cons = table.constraints()
+    data = [e for e in staged if e.content == "data" and e.record_count]
+    if not cons or not data:
+        return
+    df = spark.read.parquet(*[os.path.join(table.root, e.path)
+                              for e in data])
+    for name, expr in cons.items():
+        bad = (df.filter(~F.coalesce(F.expr(expr), F.lit(False)))
+               .limit(1).collect())
+        if bad:
+            if on_violation is not None:
+                on_violation(name, expr)
+            for e in staged:
+                try:
+                    os.remove(os.path.join(table.root, e.path))
+                except OSError:
+                    pass
+            raise ConstraintViolation(
+                f"constraint {name!r} ({expr}) violated by staged row "
+                f"{bad[0].asDict()} — staged files discarded, nothing "
+                "committed")
+
+
+def check_constraints(spark, table: Table) -> dict[str, int]:
+    """Audit the CURRENT table data against the registered constraints
+    (``add_constraint`` does not retro-validate): violation count per
+    constraint over a live scan."""
+    from pyspark.sql import functions as F
+
+    from .scan import scan
+    cons = table.constraints()
+    if not cons:
+        return {}
+    df = scan(spark, table)
+    aggs = [F.sum((~F.coalesce(F.expr(expr), F.lit(False))).cast("long"))
+            .alias(name) for name, expr in cons.items()]
+    row = df.agg(*aggs).first()
+    return {name: int(row[name] or 0) for name in cons}
+
+
 def append(table: Table, df: DataFrame,
            num_files: int | None = None,
            range_cols: list[str] | None = None,
@@ -232,5 +285,6 @@ def append(table: Table, df: DataFrame,
     ``scan(ref=...)``, publish with ``Table.fast_forward``)."""
     entries = stage_dataframe(table, df, num_files, range_cols, sort_cols,
                               bounds=bounds)
+    enforce_constraints(df.sparkSession, table, entries)
     return table.commit("append", added=entries, summary=summary,
                         branch=branch)
