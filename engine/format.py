@@ -473,7 +473,8 @@ class Table:
                carry_manifests: bool = True,
                expected_delete_paths: set[str] | None = None,
                conflict_key_ranges: list[DataFile] | None = None,
-               branch: str | None = None) -> Snapshot:
+               branch: str | None = None,
+               conflict_if_removed: set[str] | None = None) -> Snapshot:
         """Create a new snapshot = (parent's files − removed) ∪ added.
 
         Manifests are immutable; unchanged manifests are carried over wholesale
@@ -500,13 +501,20 @@ class Table:
 
         ``branch``: commit onto a named branch's head (write-audit-publish)
         instead of main — the branch ref advances, ``current_snapshot_id``
-        does not."""
+        does not.
+
+        ``conflict_if_removed``: paths this commit does NOT remove but
+        whose replacement by a concurrent commit invalidates its staging
+        (serializable merge-on-read: the planning snapshot's affected data
+        files — a concurrent copy-on-write rewrite of one means this
+        merge's insert/delete pair was derived from replaced rows)."""
         lock = self._acquire_commit_lock()
         try:
             return self._commit_locked(operation, added, removed_paths,
                                        summary, carry_manifests,
                                        expected_delete_paths,
-                                       conflict_key_ranges, branch)
+                                       conflict_key_ranges, branch,
+                                       conflict_if_removed)
         finally:
             try:
                 os.unlink(lock)
@@ -519,7 +527,9 @@ class Table:
                        carry_manifests: bool,
                        expected_delete_paths: set[str] | None = None,
                        conflict_key_ranges: list[DataFile] | None = None,
-                       branch: str | None = None) -> Snapshot:
+                       branch: str | None = None,
+                       conflict_if_removed: set[str] | None = None
+                       ) -> Snapshot:
         removed_paths = removed_paths or set()
         meta = self.load_metadata()
         if branch is not None:
@@ -563,6 +573,17 @@ class Table:
                         f"rewrite's inputs (e.g. {sorted(new_dels)[:3]}); "
                         "the staged output copied rows they shadow under a "
                         "fresh sequence number — abandon and replan")
+            if conflict_if_removed:
+                live = {e["path"] for _, ents in loaded for e in ents}
+                gone = conflict_if_removed - live
+                if gone:
+                    raise CommitConflictError(
+                        f"{operation}: serializable isolation — "
+                        f"{len(gone)} file(s) this commit planned against "
+                        f"were replaced concurrently (e.g. "
+                        f"{sorted(gone)[:3]}); its staged rows derive "
+                        "from replaced data — abandon, re-derive from the "
+                        "fresh snapshot, and replay")
             if conflict_key_ranges and expected_delete_paths is not None:
                 # serializable merge-on-read: conflict when a concurrent
                 # commit landed a delete file whose conv_id range overlaps
@@ -780,6 +801,10 @@ class Table:
             r = refs.get(from_branch)
             if r is None:
                 raise KeyError(f"ref {from_branch!r} not found")
+            if r.get("type") != "branch":
+                raise ValueError(f"ref {from_branch!r} is a "
+                                 f"{r.get('type')}, not a branch — tags "
+                                 "are immutable pins, not publish sources")
             head = r["snapshot_id"]
             cur = meta["current_snapshot_id"]
             by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
@@ -876,10 +901,28 @@ class Table:
             return []
         keep_last = max(1, keep_last)
         cutoff_idx = max(0, len(snaps) - keep_last)
-        # ref targets (branch heads, tags) are pinned: a tag names a
-        # reproducible input state (e.g. a training run's exact snapshot)
-        # and must survive until the ref is dropped
-        pinned = {r["snapshot_id"] for r in meta.get("refs", {}).values()}
+        # ref targets are pinned: a tag names a reproducible input state
+        # and must survive until the ref is dropped. A BRANCH additionally
+        # pins its parent CHAIN down to the first ancestor of main's
+        # current snapshot — fast_forward proves publishability by walking
+        # that chain, so expiring an intermediate branch snapshot would
+        # permanently un-publish an otherwise clean branch. The walk stops
+        # at main's lineage (nothing beyond it is needed: if main diverged,
+        # fast_forward conflicts regardless of chain integrity).
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        cur_anc: set[int] = set()
+        node = meta["current_snapshot_id"]
+        while node is not None and node in by_id and node not in cur_anc:
+            cur_anc.add(node)
+            node = by_id[node].get("parent_id")
+        pinned: set[int] = set()
+        for r in meta.get("refs", {}).values():
+            node = r["snapshot_id"]
+            while node is not None and node in by_id and node not in pinned:
+                pinned.add(node)
+                if node in cur_anc or r.get("type") != "branch":
+                    break
+                node = by_id[node].get("parent_id")
         expired, kept = [], []
         for i, s in enumerate(snaps):
             is_current = s["snapshot_id"] == meta["current_snapshot_id"]

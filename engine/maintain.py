@@ -218,10 +218,8 @@ def compact(spark: SparkSession, table: Table,
 
 
 def _restat(table: Table, rel_path: str) -> DataFile:
-    rows, size, stats = collect_parquet_stats(os.path.join(table.root, rel_path))
-    content = ("deletes" if os.path.basename(rel_path).startswith("delete-")
-               else "data")
-    return DataFile(rel_path, rows, size, stats, content=content)
+    from .write import restat_staged
+    return restat_staged(table, rel_path)
 
 
 def rewrite_deletes(spark: SparkSession, table: Table,
@@ -247,13 +245,17 @@ def rewrite_deletes(spark: SparkSession, table: Table,
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
-    from .scan import conv_overlap
+    from .scan import conv_overlap, delete_max_seq
     dels = table.manifest_entries(content="deletes")
     if not dels:
         return None
     data = table.manifest_entries()
+    # shadow-ability by the ROW-level sequence ceiling (delete_max_seq): a
+    # folded delete file carries the fold commit's (late) file sequence,
+    # but its rows keep their original sequences — comparing against the
+    # file sequence would mark every pre-fold data file affected forever
     affected = [e for e in data
-                if any(e.sequence_number < d.sequence_number
+                if any(e.sequence_number < delete_max_seq(d)
                        and conv_overlap(e, d) for d in dels)]
     removed = {e.path for e in affected} | {d.path for d in dels}
     expected_dels = {d.path for d in dels}
@@ -735,7 +737,12 @@ def expire_checkpoints(table: Table) -> list[str]:
                         snap_id = (r.get("extra") or {}).get("snapshot_id")
         except (OSError, ValueError):
             continue  # concurrent writer / torn file: keep, next pass retries
-        if committed and snap_id is not None and snap_id not in live:
+        # snap_id None = a finalized NO-OP pass (e.g. delete_where that
+        # matched nothing): replaying it after log deletion re-derives the
+        # same no-op, so the log is as dead as an expired-snapshot one —
+        # without this branch, hourly no-op cadences regrow the unbounded
+        # checkpoint directory this function exists to stop
+        if committed and (snap_id is None or snap_id not in live):
             os.remove(path)
             removed.append(fn)
     return removed
@@ -828,10 +835,12 @@ def run_maintenance(spark: SparkSession, table: Table,
         compact_deletes(spark, table, pass_id=f"{pass_id}-folddel")
         dels = table.manifest_entries(content="deletes")
         if dels:
-            from .scan import conv_overlap
+            from .scan import conv_overlap, delete_max_seq
             data = table.manifest_entries()
+            # row-level sequence ceiling, not the (late) fold-file seq —
+            # else "not affected" could never fire after a fold
             affected = [e for e in data
-                        if any(e.sequence_number < d.sequence_number
+                        if any(e.sequence_number < delete_max_seq(d)
                                and conv_overlap(e, d) for d in dels)]
             del_rows = sum(d.record_count for d in dels)
             total_rows = sum(e.record_count for e in data)

@@ -407,9 +407,11 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     snapshot-isolation semantics, like Iceberg equality deletes. Pass
     ``isolation='serializable'`` to make a MoR merge CONFLICT instead when
     a concurrent commit landed a delete file overlapping its key range
-    (conservative conv_id-range check on manifest stats): the loser gets a
-    CommitConflictError and must re-derive its source from the fresh
-    snapshot, never a silent revert.
+    (conservative conv_id-range check on manifest stats) OR replaced any
+    data file this merge planned against (a concurrent copy-on-write
+    merge/compaction/delete): the loser gets a CommitConflictError and
+    must re-derive its source from the fresh snapshot, never a silent
+    revert.
     """
     assert mode in ("auto", "cow", "mor")
     assert isolation in ("snapshot", "serializable")
@@ -466,8 +468,9 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     # WHOLE files — a delete shadowing a row outside the source's key
     # domain but inside an affected file must still be applied, or the
     # rewritten copy (fresh sequence number) resurrects it
+    from .scan import delete_max_seq
     affected_dels = [d for d in delete_entries
-                     if any(e.sequence_number < d.sequence_number
+                     if any(e.sequence_number < delete_max_seq(d)
                             and conv_overlap(e, d) for e in affected)]
     affected_rows = sum(e.record_count for e in affected)
     use_mor = (mode == "mor"
@@ -478,13 +481,8 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     removed_paths: set[str] = set() if use_mor else set(affected_paths)
     rec = ckpt.get("rewrite")
     if rec is not None:
-        staged = []
-        for p in rec["output_files"]:
-            rows, size, stats = collect_parquet_stats(
-                os.path.join(table.root, p))
-            content = ("deletes" if os.path.basename(p).startswith("delete-")
-                       else "data")
-            staged.append(DataFile(p, rows, size, stats, content=content))
+        from .write import restat_staged
+        staged = [restat_staged(table, p) for p in rec["output_files"]]
         # a resumed pass replays the recorded strategy, not the re-derived
         # one (the staged files already embody it); legacy records carry no
         # 'removed' list — they were all CoW, removing their input files
@@ -498,9 +496,13 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
         # the crash was not applied to the staged files, and the commit
         # validation below must catch it (legacy records: no validation)
         expected_dels = (set(ext["deletes"]) if "deletes" in ext else None)
+        # serializable MoR resume: the RECORDED planning file set, not a
+        # re-derivation from the live snapshot
+        mor_planned = (set(ext["affected"]) if "affected" in ext else None)
     elif not affected:
         staged = []
         expected_dels = None
+        mor_planned = None
     elif use_mor:
         staged = _stage_mor(spark, table, snap, source, update_map,
                             broadcast_source, preds, source_bytes,
@@ -516,6 +518,7 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             skew_factor=1.0, committed=False,
             extra={"mor": True, "removed": [],
                    **({"deletes": sorted(d.path for d in delete_entries),
+                       "affected": sorted(affected_paths),
                        "serializable": True} if serial else {})}))
         # snapshot isolation: MoR removes nothing → nothing to validate.
         # serializable: validate against the planning snapshot's delete set
@@ -523,6 +526,7 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
         # losing last-sequence-wins.
         expected_dels = ({d.path for d in delete_entries} if serial
                          else None)
+        mor_planned = set(affected_paths) if serial else None
     else:
         # merge-on-read backlog: a raw file read would resurrect deleted
         # rows — the delete-applied read (seq-split fast path) prevents it.
@@ -584,12 +588,17 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
         # the commit validates against the known set (Iceberg's
         # validateNoNewDeleteFiles)
         expected_dels = {d.path for d in delete_entries}
+        mor_planned = None  # CoW removes its inputs: liveness check covers
 
     from .format import CommitConflictError, ConstraintViolation
     from .write import enforce_constraints
     try:
+        # CoW staged output carries unchanged legacy rows — gate only the
+        # rows this merge touched (source keys); MoR insert files ARE
+        # exactly the touched rows, no key restriction needed
         enforce_constraints(
             spark, table, staged,
+            keys_df=None if use_mor else source,
             on_violation=lambda n, x: ckpt.abandon(
                 {"constraint": n, "expr": x}))
     except ConstraintViolation:
@@ -605,7 +614,9 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                                             else {})},
                                 expected_delete_paths=expected_dels,
                                 conflict_key_ranges=mor_key_ranges,
-                                branch=branch)
+                                branch=branch,
+                                conflict_if_removed=(mor_planned
+                                                     if use_mor else None))
     except CommitConflictError:
         # a concurrent pass replaced our input files mid-rewrite: committing
         # would resurrect their rows through our staged copies. Abandon the
@@ -650,7 +661,12 @@ def delete_where(spark: SparkSession, table: Table,
 
     Returns None when no file can contain a matching row. Checkpointed
     and conflict-validated like MERGE; ``changes_between`` surfaces the
-    removed rows as ``_change='delete'`` CDC records. ``branch``: plan
+    removed rows as ``_change='delete'`` CDC records (the exact LIVE-row
+    count). The summary's ``deleted_rows`` counts PHYSICAL rows removed:
+    for whole-file drops that includes generations already shadowed by
+    equality deletes (a metadata-only drop cannot know the live subset
+    without reading the file — use the CDC diff for the exact live
+    number). ``branch``: plan
     against and commit onto a named branch head (audit a purge with
     ``scan(ref=...)`` before ``fast_forward`` publishes it)."""
     assert mode in ("auto", "cow", "mor")
@@ -684,12 +700,8 @@ def delete_where(spark: SparkSession, table: Table,
     expected_dels: set[str] | None = None
     rec = ckpt.get("rewrite")
     if rec is not None:
-        for p in rec["output_files"]:
-            rows, size, stats = collect_parquet_stats(
-                os.path.join(table.root, p))
-            content = ("deletes" if os.path.basename(p).startswith("delete-")
-                       else "data")
-            staged.append(DataFile(p, rows, size, stats, content=content))
+        from .write import restat_staged
+        staged.extend(restat_staged(table, p) for p in rec["output_files"])
         ext = rec.get("extra") or {}
         removed = set(ext.get("removed", []))
         n_dead = int(ext.get("deleted_rows", 0))
@@ -697,8 +709,9 @@ def delete_where(spark: SparkSession, table: Table,
         use_mor = bool(ext.get("mor"))
     elif partial:
         from .scan import read_with_deletes
+        from .scan import delete_max_seq as _dmax
         applicable = [d for d in delete_entries
-                      if any(e.sequence_number < d.sequence_number
+                      if any(e.sequence_number < _dmax(d)
                              and conv_overlap(e, d) for e in partial)]
         live_part = read_with_deletes(spark, table, partial, applicable)
         match = predicates[0].to_column()

@@ -70,10 +70,24 @@ def delete_min_seq(d: DataFile) -> int:
     sequence in a ``__delete_seq`` column (its manifest min is authoritative
     — the file's own sequence number is the FOLD commit's, which is later
     than every row it carries); a raw merge-written delete file's rows all
-    share the file's sequence number."""
+    share the file's sequence number. Used by the scan fast-path split
+    (data files older than EVERY delete row take the seq-free anti-join)."""
     st = (d.stats or {}).get(_DELETE_SEQ_COL) or {}
     mn = st.get("min")
     return int(mn) if mn is not None else d.sequence_number
+
+
+def delete_max_seq(d: DataFile) -> int:
+    """The LARGEST sequence number any delete row in this file can carry —
+    the shadow-ability bound: a data file with sequence >= this can never
+    be shadowed by any row in ``d``. For a folded file this is the
+    ``__delete_seq`` manifest max (strictly below the fold commit's file
+    sequence — using the file sequence would mark every pre-fold data file
+    shadowable forever); missing stats fall back to the file sequence,
+    which over-selects (safe: extra rewrite work, never resurrection)."""
+    st = (d.stats or {}).get(_DELETE_SEQ_COL) or {}
+    mx = st.get("max")
+    return int(mx) if mx is not None else d.sequence_number
 
 
 def delete_rows_with_seq(spark: SparkSession, table: Table,
@@ -414,7 +428,7 @@ def changes_between(spark: SparkSession, table: Table,
     changed_dels = [d for d in (old_dels + new_dels) if d.path in changed]
     extra_paths = {e.path for e in old_data
                    if e.path not in changed
-                   and any(e.sequence_number < d.sequence_number
+                   and any(e.sequence_number < delete_max_seq(d)
                            and conv_overlap(e, d) for d in changed_dels)}
 
     def _side(data, dels):

@@ -220,8 +220,21 @@ def stage_dataframe(table: Table, df: DataFrame,
     return entries
 
 
+def restat_staged(table: Table, rel_path: str) -> DataFile:
+    """Rebuild a manifest entry for an already-staged file (checkpoint
+    resume paths): re-read the parquet footer and infer the content kind
+    from the ``delete-``/``part-`` name ``Table.register_staged_files``
+    assigned — the ONE place that naming convention is interpreted."""
+    from .format import collect_parquet_stats
+    rows, size, stats = collect_parquet_stats(
+        os.path.join(table.root, rel_path))
+    content = ("deletes" if os.path.basename(rel_path).startswith("delete-")
+               else "data")
+    return DataFile(rel_path, rows, size, stats, content=content)
+
+
 def enforce_constraints(spark, table: Table, staged: list[DataFile],
-                        on_violation=None) -> None:
+                        on_violation=None, keys_df=None) -> None:
     """CHECK-constraint gate for freshly staged files (Delta-style write
     boundary): read back ONLY the staged data files (columnar, no lineage
     recompute — the batch's DAG never runs twice) and probe each
@@ -229,7 +242,14 @@ def enforce_constraints(spark, table: Table, staged: list[DataFile],
     violating row: run ``on_violation`` (checkpoint abandon for merges),
     unlink the staged files, raise ``ConstraintViolation`` with the
     offending row — nothing commits. Zero cost when no constraint is
-    registered (the common case and the benched maintenance path)."""
+    registered (the common case and the benched maintenance path).
+
+    ``keys_df``: restrict the probe to these (conv_id, turn_idx) keys —
+    the CoW merge passes its source keys so only rows the merge actually
+    CHANGED are gated. Without it, a copy-on-write rewrite would re-judge
+    every legacy row it carries, and one pre-constraint violator would
+    permanently brick maintenance on its file (add_constraint documents
+    no retro-validation; ``check_constraints`` is the audit for that)."""
     from pyspark.sql import functions as F
 
     from .format import ConstraintViolation
@@ -239,6 +259,13 @@ def enforce_constraints(spark, table: Table, staged: list[DataFile],
         return
     df = spark.read.parquet(*[os.path.join(table.root, e.path)
                               for e in data])
+    if keys_df is not None:
+        # join side left to AQE: a backlog merge's key set can be huge —
+        # forcing a broadcast here has the same failure mode the ingest
+        # split avoids
+        from .scan import MERGE_KEYS
+        df = df.join(keys_df.select(*MERGE_KEYS),
+                     list(MERGE_KEYS), "left_semi")
     for name, expr in cons.items():
         bad = (df.filter(~F.coalesce(F.expr(expr), F.lit(False)))
                .limit(1).collect())

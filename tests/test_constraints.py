@@ -114,3 +114,40 @@ def test_check_constraints_audits_existing_data(spark, tmp_table_root):
         t.add_constraint("role_domain", "true")  # duplicate
     with pytest.raises(KeyError):
         t.drop_constraint("nope")
+
+
+def test_cow_merge_does_not_retrovalidate_carried_rows(spark,
+                                                       tmp_table_root):
+    """Review fix (r5): a CoW rewrite carries unchanged legacy rows —
+    a constraint added AFTER a violating row landed must not brick every
+    merge touching its file (add_constraint documents no retro-
+    validation). Only the rows the merge CHANGES are gated."""
+    df = generate_transcripts(spark, num_convs=20)
+    t = Table.create(tmp_table_root)
+    legacy_bad = df.limit(1).withColumn("role", F.lit("weird-legacy"))
+    rest = df.join(legacy_bad.select("conv_id", "turn_idx"),
+                   ["conv_id", "turn_idx"], "left_anti")
+    append(t, rest.unionByName(legacy_bad), num_files=2,
+           range_cols=["conv_id", "turn_idx"])
+    t.add_constraint("role_ok",
+                     "role in ('user','assistant','system','tool')")
+    assert check_constraints(spark, t)["role_ok"] == 1  # the audit sees it
+
+    # a CoW merge updating OTHER rows succeeds despite the carried violator
+    src = (scan(spark, t).filter("role != 'weird-legacy'")
+           .select("conv_id", "turn_idx")
+           .orderBy("conv_id", "turn_idx").limit(3)
+           .withColumn("upd_text", F.lit("ok-edit")))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="cr-ok",
+               mode="cow")
+    out = scan(spark, t)
+    assert out.filter("text = 'ok-edit'").count() == 3
+    assert out.filter("role = 'weird-legacy'").count() == 1  # untouched
+
+    # but a merge that WRITES a violating value still trips
+    bad = (scan(spark, t).select("conv_id", "turn_idx")
+           .orderBy("conv_id", "turn_idx").limit(1)
+           .withColumn("upd_role", F.lit("still-bad")))
+    with pytest.raises(ConstraintViolation):
+        merge_into(spark, t, bad, {"role": "upd_role"}, pass_id="cr-bad",
+                   mode="cow")

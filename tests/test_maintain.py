@@ -431,3 +431,29 @@ def test_expire_checkpoints_removes_only_dead_finalized(spark,
     assert os.path.exists(staged)
     assert scan(spark, t).filter("text = 'two'").count() == 3
     assert s_live.snapshot_id in {s.snapshot_id for s in t.snapshots()}
+
+
+def test_expire_checkpoints_removes_finalized_noop_logs(spark,
+                                                        tmp_table_root):
+    """Review fix (r5): a finalized NO-OP pass (no snapshot committed,
+    e.g. a delete that matched nothing) leaves a checkpoint log that can
+    never be resumed into anything — it must expire, or hourly no-op
+    cadences regrow the unbounded directory."""
+    from engine.maintain import expire_checkpoints
+    from engine.merge import delete_where
+    from engine.scan import Predicate
+
+    df = generate_transcripts(spark, num_convs=10)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=1)
+    # a predicate that SURVIVES file pruning (value inside the role
+    # column's [min,max]) but matches zero rows → the pass stages nothing,
+    # commits nothing, and finalizes a no-op checkpoint record
+    preds = [Predicate("role", "eq", "nonexistent-role")]
+    assert delete_where(spark, t, preds, pass_id="noop-d") is None
+    ckpt_dir = os.path.join(t.meta_dir, "checkpoints")
+    assert "delete-noop-d.jsonl" in os.listdir(ckpt_dir)
+    removed = expire_checkpoints(t)
+    assert "delete-noop-d.jsonl" in removed
+    # replaying the expired no-op is still a no-op (re-derived, harmless)
+    assert delete_where(spark, t, preds, pass_id="noop-d") is None

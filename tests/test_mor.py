@@ -744,3 +744,75 @@ def test_compact_folds_applied_after_delete_fold(spark, tmp_table_root):
     assert snap is not None
     assert sorted_rows(scan(spark, t)) == want
     assert scan(spark, t).filter("text = 'fc2'").count() == 9
+
+
+def test_serializable_conflicts_on_concurrent_cow_rewrite(spark,
+                                                          tmp_table_root,
+                                                          monkeypatch):
+    """Review fix (r5): serializable isolation must also catch a
+    concurrent COPY-ON-WRITE commit (which adds no delete file but
+    REPLACES the files this MoR merge planned against) — otherwise the
+    MoR merge's stale-derived insert wins by sequence number and the CoW
+    merge's update silently reverts."""
+    import pytest
+
+    import engine.merge as merge_mod
+    from engine.format import CommitConflictError
+
+    t, df = _setup(spark, tmp_table_root)
+
+    real_stage = merge_mod.stage_dataframe
+    fired = []
+
+    def stage_then_cow_lands(table, sdf, *a, **kw):
+        staged = real_stage(table, sdf, *a, **kw)
+        if not fired:
+            fired.append(True)
+            # concurrent CoW merge replaces the planned files (no delete
+            # file committed)
+            merge_into(spark, t, _sparse_source(spark, t, tag="cow-won"),
+                       {"text": "upd_text"}, pass_id="cw", mode="cow")
+        return staged
+
+    monkeypatch.setattr(merge_mod, "stage_dataframe", stage_then_cow_lands)
+    with pytest.raises(CommitConflictError):
+        merge_into(spark, t, _sparse_source(spark, t, tag="mor-lost"),
+                   {"text": "upd_text"}, pass_id="ml", mode="mor",
+                   isolation="serializable")
+    monkeypatch.setattr(merge_mod, "stage_dataframe", real_stage)
+
+    out = scan(spark, t)
+    assert out.filter("text = 'cow-won'").count() == 5
+    assert out.filter("text = 'mor-lost'").count() == 0
+    assert out.count() == df.count()
+
+
+def test_folded_backlog_does_not_shadow_newer_appends(spark,
+                                                      tmp_table_root):
+    """Review fix (r5): shadow-ability uses the row-level sequence
+    ceiling. A data file committed AFTER the last real delete generation
+    but BEFORE the fold must not be treated as shadowable by the folded
+    file's (late) file sequence — rewrite_deletes leaves it untouched."""
+    from engine.maintain import compact_deletes
+
+    t, df = _setup(spark, tmp_table_root, files=2)     # base: seq 1
+    merge_into(spark, t, _sparse_source(spark, t, tag="g"),  # seq 2
+               {"text": "upd_text"}, pass_id="sq-m", mode="mor")
+    # same CONV RANGE (so conv_overlap is true) but disjoint keys
+    late = (generate_transcripts(spark, num_convs=60)
+            .withColumn("turn_idx", F.col("turn_idx") + 1000)
+            .withColumn("text", F.concat(F.lit("late-"), F.col("text"))))
+    append(t, late, num_files=1)                       # seq 3
+    compact_deletes(spark, t, pass_id="sq-f")          # fold: seq 4
+    appended = [e.path for e in t.manifest_entries()
+                if e.sequence_number == 3]
+    want = sorted_rows(scan(spark, t))
+
+    rw = rewrite_deletes(spark, t, pass_id="sq-rw")
+    assert rw is not None
+    live = {e.path for e in t.manifest_entries()}
+    # the seq-3 append survives untouched: no delete ROW (seq ≤ 2) can
+    # shadow it, even though the folded FILE carries seq 4
+    assert set(appended) <= live
+    assert "delete_files" not in scan_stats(t)
+    assert sorted_rows(scan(spark, t)) == want

@@ -200,3 +200,29 @@ def test_delete_on_branch_audited_before_publish(spark, tmp_table_root):
 
     t.fast_forward("audit")
     assert scan(spark, t).count() == total - n_conv
+
+
+def test_fast_forward_survives_snapshot_expiry(spark, tmp_table_root):
+    """Review fix (r5): expiry pins a branch's parent CHAIN down to main's
+    lineage — routine expire_snapshots must not un-publish a clean branch
+    by deleting its intermediate snapshots."""
+    t, df = _setup(spark, tmp_table_root)
+    t.create_branch("audit")
+    for i in range(3):  # three branch commits → two intermediates
+        b = (generate_transcripts(spark, num_convs=2)
+             .withColumn("conv_id",
+                         F.concat(F.lit(f"e{i}-"), F.col("conv_id"))))
+        append(t, b, num_files=1, branch="audit")
+    expire_snapshots(t, keep_last=1)
+    want = sorted_rows(scan(spark, t, ref="audit"))
+    pub = t.fast_forward("audit")  # must NOT conflict: main never moved
+    assert pub.snapshot_id == t.current_snapshot().snapshot_id
+    assert sorted_rows(scan(spark, t)) == want
+
+
+def test_fast_forward_rejects_tag(spark, tmp_table_root):
+    """Review fix (r5): tags are immutable pins, not publish sources."""
+    t, df = _setup(spark, tmp_table_root)
+    t.create_tag("pin")
+    with pytest.raises(ValueError, match="not a branch"):
+        t.fast_forward("pin")
