@@ -918,7 +918,13 @@ class Table:
         pinned: set[int] = set()
         for r in meta.get("refs", {}).values():
             node = r["snapshot_id"]
-            while node is not None and node in by_id and node not in pinned:
+            # per-walk cycle guard — NOT the shared pinned set: a tag on an
+            # intermediate branch snapshot would otherwise truncate the
+            # branch's walk at the already-pinned node and leave the rest
+            # of its chain expirable (review fix)
+            seen: set[int] = set()
+            while node is not None and node in by_id and node not in seen:
+                seen.add(node)
                 pinned.add(node)
                 if node in cur_anc or r.get("type") != "branch":
                     break

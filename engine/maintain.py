@@ -245,18 +245,12 @@ def rewrite_deletes(spark: SparkSession, table: Table,
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
-    from .scan import conv_overlap, delete_max_seq
+    from .scan import shadowable
     dels = table.manifest_entries(content="deletes")
     if not dels:
         return None
     data = table.manifest_entries()
-    # shadow-ability by the ROW-level sequence ceiling (delete_max_seq): a
-    # folded delete file carries the fold commit's (late) file sequence,
-    # but its rows keep their original sequences — comparing against the
-    # file sequence would mark every pre-fold data file affected forever
-    affected = [e for e in data
-                if any(e.sequence_number < delete_max_seq(d)
-                       and conv_overlap(e, d) for d in dels)]
+    affected = [e for e in data if any(shadowable(e, d) for d in dels)]
     removed = {e.path for e in affected} | {d.path for d in dels}
     expected_dels = {d.path for d in dels}
     rec = ckpt.get("rewrite")
@@ -702,7 +696,8 @@ def _sweep_distributed(spark: SparkSession, table: Table,
             listed.join(referenced, "path", "left_anti").collect()]
 
 
-def expire_checkpoints(table: Table) -> list[str]:
+def expire_checkpoints(table: Table,
+                       noop_grace_s: float = 86400.0) -> list[str]:
     """Checkpoint retention (VERDICT r4 task #5): delete the checkpoint
     logs of FINALIZED passes whose snapshot has been expired from the
     snapshot log. ``metadata/checkpoints/*.jsonl`` otherwise grows forever,
@@ -738,10 +733,19 @@ def expire_checkpoints(table: Table) -> list[str]:
         except (OSError, ValueError):
             continue  # concurrent writer / torn file: keep, next pass retries
         # snap_id None = a finalized NO-OP pass (e.g. delete_where that
-        # matched nothing): replaying it after log deletion re-derives the
-        # same no-op, so the log is as dead as an expired-snapshot one —
-        # without this branch, hourly no-op cadences regrow the unbounded
-        # checkpoint directory this function exists to stop
+        # matched nothing). Its log is still load-bearing for a SHORT
+        # window: pass_committed() is the exactly-once guard, and a retry
+        # after the table changed would re-execute against rows the
+        # original run never targeted — so no-op logs are reaped only past
+        # ``noop_grace_s`` (default 1 day; retries land within
+        # minutes/hours). Expired-snapshot logs need no age gate: their
+        # retention is governed by snapshot expiry itself.
+        if committed and snap_id is None:
+            try:
+                if time.time() - os.path.getmtime(path) < noop_grace_s:
+                    continue
+            except OSError:
+                continue
         if committed and (snap_id is None or snap_id not in live):
             os.remove(path)
             removed.append(fn)
@@ -835,13 +839,10 @@ def run_maintenance(spark: SparkSession, table: Table,
         compact_deletes(spark, table, pass_id=f"{pass_id}-folddel")
         dels = table.manifest_entries(content="deletes")
         if dels:
-            from .scan import conv_overlap, delete_max_seq
+            from .scan import shadowable
             data = table.manifest_entries()
-            # row-level sequence ceiling, not the (late) fold-file seq —
-            # else "not affected" could never fire after a fold
             affected = [e for e in data
-                        if any(e.sequence_number < delete_max_seq(d)
-                               and conv_overlap(e, d) for d in dels)]
+                        if any(shadowable(e, d) for d in dels)]
             del_rows = sum(d.record_count for d in dels)
             total_rows = sum(e.record_count for e in data)
             if (not affected

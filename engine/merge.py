@@ -468,10 +468,9 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     # WHOLE files — a delete shadowing a row outside the source's key
     # domain but inside an affected file must still be applied, or the
     # rewritten copy (fresh sequence number) resurrects it
-    from .scan import delete_max_seq
+    from .scan import shadowable
     affected_dels = [d for d in delete_entries
-                     if any(e.sequence_number < delete_max_seq(d)
-                            and conv_overlap(e, d) for e in affected)]
+                     if any(shadowable(e, d) for e in affected)]
     affected_rows = sum(e.record_count for e in affected)
     use_mor = (mode == "mor"
                or (mode == "auto" and curve is None and affected
@@ -709,10 +708,9 @@ def delete_where(spark: SparkSession, table: Table,
         use_mor = bool(ext.get("mor"))
     elif partial:
         from .scan import read_with_deletes
-        from .scan import delete_max_seq as _dmax
+        from .scan import shadowable
         applicable = [d for d in delete_entries
-                      if any(e.sequence_number < _dmax(d)
-                             and conv_overlap(e, d) for e in partial)]
+                      if any(shadowable(e, d) for e in partial)]
         live_part = read_with_deletes(spark, table, partial, applicable)
         match = predicates[0].to_column()
         for p in predicates[1:]:

@@ -90,6 +90,16 @@ def delete_max_seq(d: DataFile) -> int:
     return int(mx) if mx is not None else d.sequence_number
 
 
+def shadowable(e: DataFile, d: DataFile) -> bool:
+    """Can ANY delete row in ``d`` shadow rows of data file ``e``?
+    Row-level sequence ceiling (``delete_max_seq`` — a delete row applies
+    only to strictly older data) + conservative conv-range overlap. The
+    single definition every shadow-ability consumer (rewrite_deletes, the
+    cadence policy, CoW-merge delete selection, CDC extra-file inclusion,
+    delete_where) shares — the r5 fold fix had to touch five copies."""
+    return e.sequence_number < delete_max_seq(d) and conv_overlap(e, d)
+
+
 def delete_rows_with_seq(spark: SparkSession, table: Table,
                          delete_entries: list[DataFile]) -> DataFrame:
     """The merge keys + effective sequence of every equality-delete row:
@@ -428,8 +438,7 @@ def changes_between(spark: SparkSession, table: Table,
     changed_dels = [d for d in (old_dels + new_dels) if d.path in changed]
     extra_paths = {e.path for e in old_data
                    if e.path not in changed
-                   and any(e.sequence_number < delete_max_seq(d)
-                           and conv_overlap(e, d) for d in changed_dels)}
+                   and any(shadowable(e, d) for d in changed_dels)}
 
     def _side(data, dels):
         picked = [e for e in data if e.path in changed

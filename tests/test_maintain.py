@@ -453,7 +453,10 @@ def test_expire_checkpoints_removes_finalized_noop_logs(spark,
     assert delete_where(spark, t, preds, pass_id="noop-d") is None
     ckpt_dir = os.path.join(t.meta_dir, "checkpoints")
     assert "delete-noop-d.jsonl" in os.listdir(ckpt_dir)
-    removed = expire_checkpoints(t)
+    # the default grace RETAINS a fresh no-op log (a prompt pass_id retry
+    # must still short-circuit — review fix); past the grace it expires
+    assert "delete-noop-d.jsonl" not in expire_checkpoints(t)
+    removed = expire_checkpoints(t, noop_grace_s=0.0)
     assert "delete-noop-d.jsonl" in removed
     # replaying the expired no-op is still a no-op (re-derived, harmless)
     assert delete_where(spark, t, preds, pass_id="noop-d") is None

@@ -226,3 +226,33 @@ def test_fast_forward_rejects_tag(spark, tmp_table_root):
     t.create_tag("pin")
     with pytest.raises(ValueError, match="not a branch"):
         t.fast_forward("pin")
+
+
+def test_pin_walk_not_truncated_by_tag_on_intermediate(spark,
+                                                       tmp_table_root):
+    """Review fix (r5, round 2): a TAG pinned on an intermediate branch
+    snapshot that iterates before the branch ref must not truncate the
+    branch's pin walk — the rest of the chain stayed expirable and
+    fast_forward broke forever."""
+    t, df = _setup(spark, tmp_table_root)
+    t.create_branch("audit")
+    sids = []
+    for i in range(3):
+        b = (generate_transcripts(spark, num_convs=2)
+             .withColumn("conv_id",
+                         F.concat(F.lit(f"p{i}-"), F.col("conv_id"))))
+        append(t, b, num_files=1, branch="audit")
+        sids.append(t.refs()["audit"]["snapshot_id"])
+    # tag the MIDDLE branch snapshot, then re-create the branch ref so the
+    # tag iterates FIRST in refs order (dict preserves insertion order)
+    head = sids[-1]
+    t.create_tag("mid-pin", snapshot_id=sids[1])
+    t.drop_ref("audit")
+    t.create_branch("audit", from_snapshot_id=head)
+    assert list(t.refs()) == ["mid-pin", "audit"]
+
+    expire_snapshots(t, keep_last=1)
+    want = sorted_rows(scan(spark, t, ref="audit"))
+    pub = t.fast_forward("audit")  # must not conflict
+    assert pub.snapshot_id == head
+    assert sorted_rows(scan(spark, t)) == want
