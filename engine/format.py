@@ -548,13 +548,16 @@ class Table:
             for mf in parent.manifests:
                 with open(os.path.join(self.meta_dir, mf)) as f:
                     loaded.append((mf, json.load(f)["entries"]))
+            # one O(entries) pass under the commit lock (the writers'
+            # serialization point) serves both liveness validations below
+            live = ({e["path"] for _, ents in loaded for e in ents}
+                    if (removed_paths or conflict_if_removed) else set())
             if removed_paths:
                 # optimistic-concurrency validation (fresh read, under the
                 # lock): every file this commit replaces must still be live.
                 # A missing path means a concurrent pass already rewrote it —
                 # committing would silently resurrect its rows through our
                 # staged copies.
-                live = {e["path"] for _, ents in loaded for e in ents}
                 gone = removed_paths - live
                 if gone:
                     raise CommitConflictError(
@@ -574,7 +577,6 @@ class Table:
                         "the staged output copied rows they shadow under a "
                         "fresh sequence number — abandon and replan")
             if conflict_if_removed:
-                live = {e["path"] for _, ents in loaded for e in ents}
                 gone = conflict_if_removed - live
                 if gone:
                     raise CommitConflictError(
