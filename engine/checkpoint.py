@@ -101,4 +101,34 @@ class CheckpointLog:
 
     def pass_committed(self) -> bool:
         rec = self._done.get("__pass__")
-        return bool(rec and rec.get("committed"))
+        if rec and rec.get("committed"):
+            return True
+        if self._done:
+            return False
+        # empty log: the pass may have committed long ago and had its log
+        # reaped by expire_checkpoints — the tombstone index retains just
+        # the pass key (~50 bytes vs the full log), so a late replay with
+        # a reaped pass_id still no-ops instead of re-executing the pass
+        # against the changed table
+        return f"{self.op}-{self.pass_id}" in _committed_tombstones(self.dir)
+
+
+def _tombstone_index_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "_committed.index")
+
+
+def _committed_tombstones(ckpt_dir: str) -> set[str]:
+    """Pass keys (``<op>-<pass_id>``) of committed passes whose full logs
+    were reaped. Append-only, one key per line."""
+    path = _tombstone_index_path(ckpt_dir)
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        return {line.strip() for line in f if line.strip()}
+
+
+def record_committed_tombstone(ckpt_dir: str, pass_key: str) -> None:
+    with open(_tombstone_index_path(ckpt_dir), "a") as f:
+        f.write(pass_key + "\n")
+        f.flush()
+        os.fsync(f.fileno())

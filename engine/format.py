@@ -277,15 +277,28 @@ class Table:
         is the default and evolution is explicit and logged.
 
         ``dtype`` is a Spark SQL type string (e.g. 'string', 'double')."""
+        if name.startswith("__"):
+            raise ValueError(f"column {name!r}: the __ prefix is reserved "
+                             "for engine-internal columns")
         lock = self._acquire_commit_lock()
         try:
             meta = self.load_metadata()
             adds = meta.get("schema_adds", [])
             taken = {c["name"] for c in adds}
             # the physical base schema: any column a live file carries stats
-            # for (manifest-derived — no footer read)
+            # for (manifest-derived — no footer read) ...
+            data_entries = []
             for e in self.manifest_entries(content="all"):
                 taken |= set(e.stats.keys())
+                if e.content == "data":
+                    data_entries.append(e)
+            # ... plus one representative footer's full schema: a live
+            # column whose footers carry no statistics (e.g. an all-null
+            # or unsupported-type column) is invisible to the stats-key
+            # check, and re-registering it could record a conflicting type
+            if data_entries:
+                taken |= set(pq.ParquetFile(os.path.join(
+                    self.root, data_entries[0].path)).schema_arrow.names)
             if name in taken:
                 raise ValueError(f"column {name!r} already exists")
             v = meta["version"] + 1
@@ -354,12 +367,35 @@ class Table:
                 return s
         raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
 
+    def current_ancestors(self, meta: dict | None = None) -> set[int]:
+        """Snapshot ids on the CURRENT snapshot's parent chain — the main
+        lineage. Branch commits (write-audit-publish) and rolled-over
+        snapshots are in the log but not in this set."""
+        if meta is None:
+            meta = self.load_metadata()
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        out: set[int] = set()
+        node = meta["current_snapshot_id"]
+        while node is not None and node in by_id and node not in out:
+            out.add(node)
+            node = by_id[node].get("parent_id")
+        return out
+
     def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
-        """Time travel: the latest snapshot committed at or before
-        ``timestamp_ms`` (Iceberg's FOR TIMESTAMP AS OF). Raises KeyError
-        when every retained snapshot is newer (expired history)."""
+        """Time travel: the latest MAIN-LINEAGE snapshot committed at or
+        before ``timestamp_ms`` (Iceberg's FOR TIMESTAMP AS OF). Restricted
+        to ancestors of the current snapshot: unpublished branch commits
+        (write-audit-publish) live in the same log but must never satisfy a
+        main time-travel read — that would leak unaudited data — and
+        rolled-over snapshots stop being "the table's state at T" the
+        moment a rollback rewrites content lineage. Branch state is
+        readable only via explicit ``ref=``/``snapshot_id=``. Raises
+        KeyError when every retained ancestor is newer (expired history)."""
+        lineage = self.current_ancestors()
         best = None
         for s in self.snapshots():
+            if s.snapshot_id not in lineage:
+                continue
             if s.timestamp_ms <= timestamp_ms and \
                     (best is None or s.timestamp_ms > best.timestamp_ms
                      or (s.timestamp_ms == best.timestamp_ms
@@ -537,9 +573,10 @@ class Table:
             if r is None or r.get("type") != "branch":
                 raise KeyError(f"branch {branch!r} not found (create_branch "
                                "first)")
-            parent = Snapshot.from_json(next(
-                s for s in meta["snapshots"]
-                if s["snapshot_id"] == r["snapshot_id"]))
+            parent = (None if r["snapshot_id"] is None
+                      else Snapshot.from_json(next(
+                          s for s in meta["snapshots"]
+                          if s["snapshot_id"] == r["snapshot_id"])))
         else:
             parent = self.current_snapshot()
         manifests: list[str] = []
@@ -753,8 +790,12 @@ class Table:
             sid = from_snapshot_id
             if sid is None:
                 sid = meta["current_snapshot_id"]
-            if sid is None or not any(s["snapshot_id"] == sid
-                                      for s in meta["snapshots"]):
+            # sid None = a branch rooted at the NULL snapshot (empty
+            # table): legal — the first commit with branch=name creates
+            # the head. Without this, streaming WAP (ingest_batch(branch=))
+            # could never start on a fresh table.
+            if sid is not None and not any(s["snapshot_id"] == sid
+                                           for s in meta["snapshots"]):
                 raise KeyError(f"snapshot {sid} not found")
             refs[name] = {"snapshot_id": sid, "type": "branch"}
         self._mutate_refs(fn)
@@ -785,6 +826,9 @@ class Table:
         r = self.refs().get(name)
         if r is None:
             raise KeyError(f"ref {name!r} not found")
+        if r["snapshot_id"] is None:
+            raise KeyError(f"ref {name!r} has no commits yet (branch "
+                           "rooted at the null snapshot)")
         return self.snapshot(r["snapshot_id"])
 
     def fast_forward(self, from_branch: str) -> Snapshot:
@@ -808,6 +852,9 @@ class Table:
                                  f"{r.get('type')}, not a branch — tags "
                                  "are immutable pins, not publish sources")
             head = r["snapshot_id"]
+            if head is None:
+                raise ValueError(f"fast_forward({from_branch!r}): branch "
+                                 "has no commits yet")
             cur = meta["current_snapshot_id"]
             by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
             node, seen = head, set()
@@ -902,7 +949,6 @@ class Table:
         if not snaps:
             return []
         keep_last = max(1, keep_last)
-        cutoff_idx = max(0, len(snaps) - keep_last)
         # ref targets are pinned: a tag names a reproducible input state
         # and must survive until the ref is dropped. A BRANCH additionally
         # pins its parent CHAIN down to the first ancestor of main's
@@ -920,6 +966,8 @@ class Table:
         pinned: set[int] = set()
         for r in meta.get("refs", {}).values():
             node = r["snapshot_id"]
+            if node is None:
+                continue  # branch rooted at the null snapshot: nothing to pin
             # per-walk cycle guard — NOT the shared pinned set: a tag on an
             # intermediate branch snapshot would otherwise truncate the
             # branch's walk at the already-pinned node and leave the rest
@@ -931,12 +979,20 @@ class Table:
                 if node in cur_anc or r.get("type") != "branch":
                     break
                 node = by_id[node].get("parent_id")
+        # keep_last counts MAIN-LINEAGE snapshots (current-ancestor chain),
+        # not raw log positions: a burst of branch commits interleaves into
+        # the log and would otherwise fill a positional window, expiring
+        # main history (rollback targets) down to just the current snapshot
+        main_order = [s["snapshot_id"] for s in snaps
+                      if s["snapshot_id"] in cur_anc]
+        protected_main = set(main_order[-keep_last:])
         expired, kept = [], []
-        for i, s in enumerate(snaps):
+        for s in snaps:
             is_current = s["snapshot_id"] == meta["current_snapshot_id"]
             old_enough = (older_than_ms is None
                           or s["timestamp_ms"] < older_than_ms)
-            if (i < cutoff_idx and old_enough and not is_current
+            if (old_enough and not is_current
+                    and s["snapshot_id"] not in protected_main
                     and s["snapshot_id"] not in pinned):
                 expired.append(s["snapshot_id"])
             else:

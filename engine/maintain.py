@@ -617,6 +617,8 @@ def _uncommitted_checkpoint_outputs(table: Table) -> set[str]:
     if not os.path.isdir(ckpt_dir):
         return out
     for fn in os.listdir(ckpt_dir):
+        if not fn.endswith(".jsonl"):
+            continue  # e.g. the _committed.index tombstone file
         with open(os.path.join(ckpt_dir, fn)) as f:
             recs = [json.loads(line) for line in f if line.strip()]
         committed = any(r["task_id"] == "__pass__" and r["committed"]
@@ -703,12 +705,19 @@ def expire_checkpoints(table: Table,
     snapshot log. ``metadata/checkpoints/*.jsonl`` otherwise grows forever,
     and BOTH orphan-sweep paths read every file on every run.
 
-    Safety: such a pass can never be resumed — a replay with its pass_id
-    short-circuits on ``pass_committed()`` (whose only effect is returning
-    the CURRENT snapshot) and ``_adopt_crashed_commit`` can only adopt a
-    snapshot still in the log. Unfinalized and aborted-but-unfinalized
-    passes keep their logs: they are resumable / their tombstone ordering
-    still gates the local sweep."""
+    Safety: deleting a committed pass's log would remove the exactly-once
+    guard (``pass_committed()`` short-circuit) for that pass_id — a late
+    replay would re-execute the pass against the changed table (new
+    snapshot, new delete generation). So each reaped SNAPSHOT-committing
+    log leaves its pass key in a compact tombstone index
+    (``checkpoints/_committed.index``, ~50 bytes vs the full log) that
+    ``pass_committed()`` consults forever. Finalized NO-OP logs (no
+    snapshot) are instead age-gated by ``noop_grace_s`` (default 1 day)
+    and reaped WITHOUT a tombstone: re-running a no-op pass after the
+    retry window re-derives against the current table, which is exactly
+    what a fresh pass_id would do — harmless by construction. Unfinalized
+    and aborted-but-unfinalized passes keep their logs: they are
+    resumable / their tombstone ordering still gates the local sweep."""
     live = {s.snapshot_id for s in table.snapshots()}
     ckpt_dir = os.path.join(table.meta_dir, "checkpoints")
     removed: list[str] = []
@@ -732,23 +741,24 @@ def expire_checkpoints(table: Table,
                         snap_id = (r.get("extra") or {}).get("snapshot_id")
         except (OSError, ValueError):
             continue  # concurrent writer / torn file: keep, next pass retries
-        # snap_id None = a finalized NO-OP pass (e.g. delete_where that
-        # matched nothing). Its log is still load-bearing for a SHORT
-        # window: pass_committed() is the exactly-once guard, and a retry
-        # after the table changed would re-execute against rows the
-        # original run never targeted — so no-op logs are reaped only past
-        # ``noop_grace_s`` (default 1 day; retries land within
-        # minutes/hours). Expired-snapshot logs need no age gate: their
-        # retention is governed by snapshot expiry itself.
-        if committed and snap_id is None:
+        if not (committed and (snap_id is None or snap_id not in live)):
+            continue
+        if snap_id is None:
+            # finalized no-op: age-gated (prompt retries must short-circuit
+            # inside the window), no tombstone (late re-execution of a
+            # no-op re-derives against the current table — harmless)
             try:
                 if time.time() - os.path.getmtime(path) < noop_grace_s:
                     continue
             except OSError:
                 continue
-        if committed and (snap_id is None or snap_id not in live):
-            os.remove(path)
-            removed.append(fn)
+        else:
+            # snapshot-committing pass: preserve the exactly-once guard
+            # forever via the compact tombstone index (ADVICE r5)
+            from .checkpoint import record_committed_tombstone
+            record_committed_tombstone(ckpt_dir, fn[:-len(".jsonl")])
+        os.remove(path)
+        removed.append(fn)
     return removed
 
 

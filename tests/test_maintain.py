@@ -460,3 +460,43 @@ def test_expire_checkpoints_removes_finalized_noop_logs(spark,
     assert "delete-noop-d.jsonl" in removed
     # replaying the expired no-op is still a no-op (re-derived, harmless)
     assert delete_where(spark, t, preds, pass_id="noop-d") is None
+
+
+def test_expired_checkpoint_tombstone_keeps_exactly_once(spark,
+                                                         tmp_table_root):
+    """ADVICE r5: reaping a committed pass's checkpoint log must not
+    re-arm its pass_id — the compact tombstone index preserves the
+    exactly-once guard, so a late replay with a reaped pass_id still
+    no-ops instead of re-executing the pass against the changed table."""
+    from pyspark.sql import functions as F
+
+    from engine.maintain import expire_checkpoints
+    from engine.merge import merge_into
+
+    df = generate_transcripts(spark, num_convs=20)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=2, range_cols=["conv_id", "turn_idx"])
+
+    def _merge(pid, tag):
+        src = (scan(spark, t).select("conv_id", "turn_idx")
+               .orderBy("conv_id", "turn_idx").limit(3)
+               .withColumn("upd_text", F.lit(tag)))
+        return merge_into(spark, t, src, {"text": "upd_text"},
+                          pass_id=pid, mode="cow")
+
+    _merge("tomb-1", "one")
+    _merge("tomb-2", "two")          # expires tomb-1's snapshot below
+    expire_snapshots(t, keep_last=1)
+    removed = expire_checkpoints(t)
+    assert "merge-tomb-1.jsonl" in removed
+    idx = os.path.join(t.meta_dir, "checkpoints", "_committed.index")
+    assert os.path.exists(idx)
+    cur = t.current_snapshot().snapshot_id
+    before = sorted_rows(scan(spark, t), cols=("conv_id", "turn_idx",
+                                               "text"))
+    # late replay of the REAPED pass_id: must no-op via the tombstone
+    # (without it, the merge would re-execute and flip text back to 'one')
+    _merge("tomb-1", "one")
+    assert t.current_snapshot().snapshot_id == cur
+    assert sorted_rows(scan(spark, t), cols=("conv_id", "turn_idx",
+                                             "text")) == before

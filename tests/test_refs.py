@@ -256,3 +256,79 @@ def test_pin_walk_not_truncated_by_tag_on_intermediate(spark,
     pub = t.fast_forward("audit")  # must not conflict
     assert pub.snapshot_id == head
     assert sorted_rows(scan(spark, t)) == want
+
+
+def test_time_travel_ignores_unpublished_branch_commits(spark,
+                                                        tmp_table_root):
+    """ADVICE r5 (high): ``scan(as_of_ms=now)`` on main must return main's
+    current state even when a LATER unpublished branch commit exists in
+    the snapshot log — time travel is restricted to the current snapshot's
+    ancestor chain, so write-audit-publish isolation holds for as-of reads
+    too. Branch state is readable only via explicit ref=/snapshot_id=."""
+    import time as _time
+
+    t, df = _setup(spark, tmp_table_root)
+    main_rows = sorted_rows(scan(spark, t))
+    t.create_branch("audit")
+    b = (generate_transcripts(spark, num_convs=5)
+         .withColumn("conv_id", F.concat(F.lit("b-"), F.col("conv_id"))))
+    append(t, b, num_files=1, branch="audit")
+    now_ms = int(_time.time() * 1000) + 1000
+    assert sorted_rows(scan(spark, t, as_of_ms=now_ms)) == main_rows
+    # the branch head stays reachable through its own addressing modes
+    assert scan(spark, t, ref="audit").count() > len(main_rows)
+    # after publish, the same as-of read sees the published state
+    t.fast_forward("audit")
+    assert len(sorted_rows(scan(spark, t, as_of_ms=int(
+        _time.time() * 1000) + 1000))) > len(main_rows)
+
+
+def test_expire_keep_last_counts_main_lineage(spark, tmp_table_root):
+    """ADVICE r5: keep_last is a MAIN-LINEAGE window, not a raw log
+    position window — a burst of branch commits must not expire main
+    history (rollback targets) down to just the current snapshot."""
+    t, df = _setup(spark, tmp_table_root)
+    s1 = t.current_snapshot().snapshot_id
+    append(t, generate_transcripts(spark, num_convs=3)
+           .withColumn("conv_id", F.concat(F.lit("m2-"), F.col("conv_id"))),
+           num_files=1)
+    s2 = t.current_snapshot().snapshot_id
+    t.create_branch("noise", from_snapshot_id=s2)
+    for i in range(4):  # burst of branch commits interleaving the log
+        append(t, generate_transcripts(spark, num_convs=2)
+               .withColumn("conv_id",
+                           F.concat(F.lit(f"n{i}-"), F.col("conv_id"))),
+               num_files=1, branch="noise")
+    # drop the ref: the burst's snapshots become unreachable garbage
+    t.drop_ref("noise")
+    expired = expire_snapshots(t, keep_last=2)
+    kept = {s.snapshot_id for s in t.snapshots()}
+    # both main-lineage snapshots survive the keep_last=2 window even
+    # though 4 branch commits sit between them and the log tail ...
+    assert {s1, s2} <= kept, (expired, kept)
+    # ... and the unreachable branch snapshots are what actually expired
+    assert len(expired) >= 3, expired
+    # rollback to the older main snapshot still works
+    t.rollback_to(s1)
+    assert sorted_rows(scan(spark, t)) == sorted_rows(
+        scan(spark, t, snapshot_id=s1))
+
+
+def test_branch_rooted_at_null_snapshot(spark, tmp_table_root):
+    """ADVICE r5: streaming WAP must be able to start on a FRESH table —
+    a branch rooted at the null snapshot accepts commits (the first one
+    creates the head) and publishes by fast-forward."""
+    t = Table.create(tmp_table_root)
+    t.create_branch("ingest")
+    with pytest.raises(KeyError):
+        t.ref_snapshot("ingest")      # no commits yet
+    with pytest.raises(ValueError):
+        t.fast_forward("ingest")      # nothing to publish yet
+    df = generate_transcripts(spark, num_convs=10)
+    append(t, df, num_files=2, branch="ingest")
+    assert t.current_snapshot() is None      # main untouched
+    want = sorted_rows(scan(spark, t, ref="ingest"))
+    assert len(want) == df.count()
+    pub = t.fast_forward("ingest")
+    assert pub.snapshot_id == t.current_snapshot().snapshot_id
+    assert sorted_rows(scan(spark, t)) == want

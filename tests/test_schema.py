@@ -139,3 +139,26 @@ def test_cdc_and_incremental_scan_after_evolution(spark, tmp_table_root):
     inc = incremental_scan(spark, t, s0)
     assert "quality" in inc.columns
     assert inc.count() == 4
+
+
+def test_add_column_rejects_statless_live_column_and_reserved(spark,
+                                                              tmp_table_root):
+    """ADVICE r5: a live physical column whose parquet footers carry no
+    statistics (e.g. all-null) is invisible to the manifest-stats 'taken'
+    check — add_column must still reject it (one representative footer
+    read closes the gap). Engine-internal __-prefixed names are reserved."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = (generate_transcripts(spark, num_convs=5)
+          .withColumn("ghost", F.lit(None).cast("string")))
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=1)
+    # 'ghost' is all-null: parquet writes no min/max for it, so manifest
+    # stats alone cannot see it — the footer check must
+    assert "ghost" not in {k for e in t.manifest_entries()
+                           for k in e.stats if "min" in e.stats[k]}
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("ghost", "double")
+    with pytest.raises(ValueError, match="reserved"):
+        t.add_column("__internal", "string")
