@@ -487,14 +487,24 @@ def rewrite_manifests(table: Table, entries_per_manifest: int = 64) -> Snapshot:
         for i in range(0, len(entries), entries_per_manifest):
             manifests.append(
                 table.write_manifest(entries[i:i + entries_per_manifest]))
+        # conv-sorted regrouping makes the manifest-list ranges tight: this
+        # is what turns the per-manifest summaries into an effective
+        # two-level prune (each manifest covers a narrow conv_id band)
+        mmeta = {m: table._pending_manifest_meta[m] for m in manifests
+                 if m in table._pending_manifest_meta}
+        table._pending_manifest_meta.clear()
         parent = table.current_snapshot()
         snap = Snapshot(
-            snapshot_id=parent.snapshot_id + 1,
+            # GLOBAL max+1 (like Table._commit_locked): parent+1 could
+            # collide with a branch head committed after parent
+            snapshot_id=(max(s["snapshot_id"] for s in meta["snapshots"]) + 1
+                         if meta["snapshots"] else 1),
             parent_id=parent.snapshot_id,
             timestamp_ms=int(time.time() * 1000),
             operation="rewrite-manifests",
             manifests=manifests,
             summary={"manifests": len(manifests), "files": len(entries)},
+            manifest_meta=mmeta,
         )
         meta["snapshots"].append(snap.to_json())
         meta["current_snapshot_id"] = snap.snapshot_id

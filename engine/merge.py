@@ -683,8 +683,11 @@ def delete_where(spark: SparkSession, table: Table,
         return adopted
     snap = (table.ref_snapshot(branch) if branch
             else table.current_snapshot())
-    entries = table.manifest_entries(snap)
-    affected = prune_files(entries, predicates)
+    # two-level prune: manifest-list summaries skip whole manifests, file
+    # stats prune the rest — a targeted DELETE never parses the full
+    # manifest tree on the driver
+    affected = prune_files(
+        table.manifest_entries(snap, predicates=predicates), predicates)
     if not affected:
         return None
     delete_entries = table.manifest_entries(snap, content="deletes")

@@ -341,7 +341,10 @@ def scan(spark: SparkSession, table: Table,
         snap = table.current_snapshot()
     else:
         snap = table.snapshot(snapshot_id)
-    entries = table.manifest_entries(snap)
+    # two-level pruning: whole manifests are skipped via the snapshot's
+    # manifest-list summaries (never opened), then file-level stats prune
+    # within the manifests that remain
+    entries = table.manifest_entries(snap, predicates=predicates)
     entries = prune_files(entries, predicates)
     if not entries:
         # empty relation with the right schema: read zero files is an error,
@@ -358,7 +361,8 @@ def scan(spark: SparkSession, table: Table,
         # affect a surviving row). Tables without deletes (the steady state
         # between sparse merges and compactions) skip this entirely: zero
         # plan overhead.
-        dels = table.manifest_entries(snap, content="deletes")
+        dels = table.manifest_entries(snap, content="deletes",
+                                      predicates=predicates)
         if dels:
             dels = prune_files(dels, predicates)
         if dels:

@@ -57,7 +57,8 @@ def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
     # over a large drop) can carry millions of conversations — a bare
     # distinct().collect() would land them all on the driver.
     preds, _, _ = _source_predicates(batch)
-    entries = prune_files(table.manifest_entries(head), preds)
+    entries = prune_files(
+        table.manifest_entries(head, predicates=preds), preds)
     if entries:
         # pruned scan: only files whose stats intersect the batch's keys;
         # join side left to AQE (the batch may be backlog-sized — forcing a

@@ -158,3 +158,100 @@ def test_changes_between_row_level_cdc(spark, tmp_table_root):
     cum = changes_between(spark, t, s1, s4)
     assert cum.filter("_change = 'update'").count() == 3
     assert cum.filter("_change = 'insert'").count() == n_extra
+
+
+def test_manifest_list_pruning_skips_whole_manifests(spark, tmp_table_root):
+    """Two-level scan planning (VERDICT r5 task #1): after
+    ``rewrite_manifests`` regroups entries into conv-sorted manifests,
+    a conv-predicate scan must open ONLY the manifests whose summary
+    range overlaps the predicate — counted via ``Table.manifest_opens`` —
+    with output identical to the unpruned scan."""
+    from engine.maintain import rewrite_manifests
+
+    df = generate_transcripts(spark, num_convs=120)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=24, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    rewrite_manifests(t, entries_per_manifest=4)  # 6 conv-banded manifests
+    snap = t.current_snapshot()
+    n_manifests = len(snap.manifests)
+    assert n_manifests >= 5
+    assert set(snap.manifest_meta) == set(snap.manifests)
+    for md in snap.manifest_meta.values():
+        assert "conv_id" in md["ranges"]
+
+    target = "conv-00000042"
+    preds = [Predicate("conv_id", "eq", target)]
+    t.manifest_opens = 0
+    pruned = scan(spark, t, predicates=preds).filter(
+        F.col("conv_id") == target)
+    opens_pruned = t.manifest_opens
+    rows = sorted_rows(pruned, cols=("conv_id", "turn_idx", "text"))
+    assert opens_pruned < n_manifests, (opens_pruned, n_manifests)
+    assert opens_pruned <= 2  # one conv lives in 1 band (2 if on a cut)
+
+    t.manifest_opens = 0
+    full = scan(spark, t).filter(F.col("conv_id") == target)
+    assert t.manifest_opens == n_manifests  # the unpredicated scan opens all
+    assert rows == sorted_rows(full, cols=("conv_id", "turn_idx", "text"))
+    assert len(rows) > 0
+
+    # IN-predicates across two bands open at most the overlapping bands
+    preds_in = [Predicate("conv_id", "in",
+                          sorted(["conv-00000003", "conv-00000117"]))]
+    t.manifest_opens = 0
+    two = scan(spark, t, predicates=preds_in).filter(
+        F.col("conv_id").isin("conv-00000003", "conv-00000117"))
+    got = sorted_rows(two, cols=("conv_id", "turn_idx"))
+    assert t.manifest_opens <= 4
+    want = sorted_rows(
+        scan(spark, t).filter(F.col("conv_id").isin(
+            "conv-00000003", "conv-00000117")), cols=("conv_id", "turn_idx"))
+    assert got == want
+
+
+def test_manifest_list_pruning_mor_and_legacy(spark, tmp_table_root):
+    """Manifest-list pruning composes with merge-on-read (delete manifests
+    skipped for data reads and pruned by predicate for delete reads) and
+    degrades safely for legacy snapshots without summaries (opens all)."""
+    from engine.maintain import rewrite_manifests
+    from engine.merge import merge_into
+
+    df = generate_transcripts(spark, num_convs=60)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=12, range_cols=["conv_id", "turn_idx"],
+           sort_cols=["conv_id", "turn_idx"])
+    rewrite_manifests(t, entries_per_manifest=3)
+    # sparse MoR merge on one conversation → adds a delete+insert manifest
+    src = (scan(spark, t).filter("conv_id = 'conv-00000010'")
+           .select("conv_id", "turn_idx").orderBy("turn_idx").limit(2)
+           .withColumn("upd_text", F.lit("edited")))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="mlm",
+               mode="mor")
+    snap = t.current_snapshot()
+
+    # a scan far from the merge's conv range must not open the delete
+    # manifest (its conv range excludes the predicate)
+    preds = [Predicate("conv_id", "eq", "conv-00000055")]
+    out = scan(spark, t, predicates=preds)
+    assert out.filter("text = 'edited'").count() == 0
+    # the merged row is still served correctly through the pruned path
+    hit = scan(spark, t, predicates=[
+        Predicate("conv_id", "eq", "conv-00000010")])
+    assert hit.filter("text = 'edited'").count() == 2
+
+    # legacy degradation: strip the summaries — everything still works,
+    # every manifest is opened (the pre-upgrade behavior)
+    meta = t.load_metadata()
+    for s in meta["snapshots"]:
+        s.pop("manifest_meta", None)
+    meta["version"] += 1
+    t._write_version(meta["version"], meta)
+    t2 = Table(tmp_table_root)
+    t2.manifest_opens = 0
+    legacy = scan(spark, t2, predicates=preds)
+    assert sorted_rows(legacy, cols=("conv_id", "turn_idx", "text")) == \
+        sorted_rows(out, cols=("conv_id", "turn_idx", "text"))
+    # without summaries both planning passes (data + deletes) open every
+    # manifest — the exact pre-upgrade cost the summaries remove
+    assert t2.manifest_opens == 2 * len(t2.current_snapshot().manifests)

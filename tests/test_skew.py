@@ -55,7 +55,11 @@ def test_group_ffill_hot_conversation_task_share_is_bounded(spark):
          .otherwise(F.lit("user")).alias("role"),
         F.lit(None).cast("string").alias("tool"),
         F.concat(F.lit("t"), F.col("id")).alias("text"),
-        F.current_timestamp().alias("ts"))
+        # fixed timestamps: current_timestamp() made the parquet byte
+        # sizes (→ target_bytes → boundary granularity → straggler ratio)
+        # drift run-to-run — bounds asserted on file sizes then flake at
+        # the margin
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"))
     df = base.unionByName(hot.select(*base.columns))
     total = df.count()
 
@@ -107,7 +111,11 @@ def test_cow_rewrite_splits_hot_conversation_across_files(spark,
          .otherwise(F.lit("user")).alias("role"),
         F.lit("search").alias("tool"),
         F.concat(F.lit("t"), F.col("id")).alias("text"),
-        F.current_timestamp().alias("ts"))
+        # fixed timestamps: current_timestamp() made the parquet byte
+        # sizes (→ target_bytes → boundary granularity → straggler ratio)
+        # drift run-to-run — bounds asserted on file sizes then flake at
+        # the margin
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"))
     df = base.unionByName(hot.select(*base.columns))
     injected, _wl = inject_missing(df)
     total = injected.count()
