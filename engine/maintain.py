@@ -52,11 +52,24 @@ def plan_compaction(entries: list[DataFile],
     return [g for g in groups if len(g) >= min_group]
 
 
+def _plan_snapshot(table: Table, branch: str | None) -> Snapshot | None:
+    """The snapshot a maintenance pass plans against: a named branch's head
+    (branch-aware maintenance — VERDICT r5 task #2) or main. A long-lived
+    write-audit-publish branch fed by ``ingest_batch(branch=)`` accumulates
+    micro-batch small files and MoR deletes exactly like main does; without
+    branch= the cadence could not retire them until publish — and
+    ``fast_forward`` would then publish the fragmentation to main."""
+    if branch is None:
+        return table.current_snapshot()
+    return table.ref_snapshot(branch)
+
+
 def compact(spark: SparkSession, table: Table,
             target_bytes: int = DEFAULT_TARGET_BYTES,
             pass_id: str | None = None,
             max_concurrency: int = 8,
-            retries: int = 1) -> Snapshot | None:
+            retries: int = 1,
+            branch: str | None = None) -> Snapshot | None:
     """Rewrite every planned group into one file in ONE Spark job.
 
     The file→group routing is a broadcast join on the file's basename
@@ -94,11 +107,12 @@ def compact(spark: SparkSession, table: Table,
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "compact")
     if ckpt.pass_committed():
-        return table.current_snapshot()
+        return _plan_snapshot(table, branch)
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
-    entries = table.manifest_entries()
+    plan_snap = _plan_snapshot(table, branch)
+    entries = table.manifest_entries(plan_snap)
     groups = plan_compaction(entries, target_bytes)
     if not groups:
         return None
@@ -106,7 +120,7 @@ def compact(spark: SparkSession, table: Table,
     # this point shadows rows the rewrite may copy under a fresh sequence
     # number — the commit below validates against exactly this set, and a
     # resumed pass replays the RECORDED set (not the live one)
-    dels = table.manifest_entries(content="deletes")
+    dels = table.manifest_entries(plan_snap, content="deletes")
     plan_rec = ckpt.get("__plan__")
     if plan_rec is None:
         ckpt.record(TaskRecord(
@@ -173,10 +187,10 @@ def compact(spark: SparkSession, table: Table,
                 ckpt.abandon({"conflict": "group fully deleted; folding "
                                           "backlog and replanning"})
                 rewrite_deletes(spark, table, target_bytes,
-                                pass_id=f"{pass_id}-fold")
+                                pass_id=f"{pass_id}-fold", branch=branch)
                 return compact(spark, table, target_bytes,
                                pass_id=f"{pass_id}-replan",
-                               retries=retries - 1)
+                               retries=retries - 1, branch=branch)
             raise RuntimeError(
                 f"compaction wrote {len(staged)} files for {n} groups — "
                 "an empty group partition broke part↔group alignment"
@@ -201,7 +215,8 @@ def compact(spark: SparkSession, table: Table,
         snap = table.commit("compact", added=added, removed_paths=removed,
                             summary={"pass_id": pass_id,
                                      "groups": len(groups)},
-                            expected_delete_paths=expected_dels)
+                            expected_delete_paths=expected_dels,
+                            branch=branch)
     except CommitConflictError:
         # lost the race: some planned input files were replaced while this
         # pass ran. Compaction's plan is derived purely from the manifest,
@@ -212,7 +227,8 @@ def compact(spark: SparkSession, table: Table,
         if retries <= 0:
             raise
         return compact(spark, table, target_bytes,
-                       pass_id=f"{pass_id}-retry", retries=retries - 1)
+                       pass_id=f"{pass_id}-retry", retries=retries - 1,
+                       branch=branch)
     ckpt.finalize({"snapshot_id": snap.snapshot_id})
     return snap
 
@@ -224,7 +240,8 @@ def _restat(table: Table, rel_path: str) -> DataFile:
 
 def rewrite_deletes(spark: SparkSession, table: Table,
                     target_bytes: int = DEFAULT_TARGET_BYTES,
-                    pass_id: str | None = None) -> Snapshot | None:
+                    pass_id: str | None = None,
+                    branch: str | None = None) -> Snapshot | None:
     """Major compaction for the merge-on-read backlog: rewrite every data
     file at least one equality-delete file can shadow (older sequence number
     AND overlapping conv_id range), applying the deletes, then retire ALL
@@ -241,15 +258,16 @@ def rewrite_deletes(spark: SparkSession, table: Table,
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "rewrite-deletes")
     if ckpt.pass_committed():
-        return table.current_snapshot()
+        return _plan_snapshot(table, branch)
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
     from .scan import shadowable
-    dels = table.manifest_entries(content="deletes")
+    plan_snap = _plan_snapshot(table, branch)
+    dels = table.manifest_entries(plan_snap, content="deletes")
     if not dels:
         return None
-    data = table.manifest_entries()
+    data = table.manifest_entries(plan_snap)
     affected = [e for e in data if any(shadowable(e, d) for d in dels)]
     removed = {e.path for e in affected} | {d.path for d in dels}
     expected_dels = {d.path for d in dels}
@@ -292,7 +310,7 @@ def rewrite_deletes(spark: SparkSession, table: Table,
             "rewrite-deletes", added=staged,
             removed_paths=removed,
             summary={"pass_id": pass_id, "delete_files_folded": len(dels)},
-            expected_delete_paths=expected_dels)
+            expected_delete_paths=expected_dels, branch=branch)
     except CommitConflictError:
         ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
         raise
@@ -301,7 +319,8 @@ def rewrite_deletes(spark: SparkSession, table: Table,
 
 
 def compact_deletes(spark: SparkSession, table: Table,
-                    pass_id: str | None = None) -> Snapshot | None:
+                    pass_id: str | None = None,
+                    branch: str | None = None) -> Snapshot | None:
     """Minor compaction of the merge-on-read delete backlog (VERDICT r4
     task #2): fold every equality-delete file into ONE, with each row's
     ORIGINAL sequence number materialized as a ``__delete_seq`` column.
@@ -332,11 +351,12 @@ def compact_deletes(spark: SparkSession, table: Table,
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "compact-deletes")
     if ckpt.pass_committed():
-        return table.current_snapshot()
+        return _plan_snapshot(table, branch)
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
-    dels = table.manifest_entries(content="deletes")
+    dels = table.manifest_entries(_plan_snapshot(table, branch),
+                                  content="deletes")
     if len(dels) <= 1:
         return None
     removed = {d.path for d in dels}
@@ -367,7 +387,8 @@ def compact_deletes(spark: SparkSession, table: Table,
         snap = table.commit("compact-deletes", added=staged,
                             removed_paths=removed,
                             summary={"pass_id": pass_id,
-                                     "delete_files_folded": len(removed)})
+                                     "delete_files_folded": len(removed)},
+                            branch=branch)
     except CommitConflictError:
         ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
         raise
@@ -378,7 +399,8 @@ def compact_deletes(spark: SparkSession, table: Table,
 # ----------------------------------------------------------------- clustering
 def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
             target_bytes: int = DEFAULT_TARGET_BYTES,
-            pass_id: str | None = None) -> Snapshot:
+            pass_id: str | None = None,
+            branch: str | None = None) -> Snapshot:
     """Full-table rewrite ordered by the space-filling curve
     (engine.layout): repartitionByRange on the curve key gives every output
     file a contiguous curve segment → tight min/max on BOTH hash(conv_id) and
@@ -389,12 +411,13 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, f"cluster-{strategy}")
     if ckpt.pass_committed():
-        return table.current_snapshot()
+        return _plan_snapshot(table, branch)
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
-    entries = table.manifest_entries()
-    delete_entries = table.manifest_entries(content="deletes")
+    plan_snap = _plan_snapshot(table, branch)
+    entries = table.manifest_entries(plan_snap)
+    delete_entries = table.manifest_entries(plan_snap, content="deletes")
     in_paths = [e.path for e in entries]
     total_bytes = sum(e.file_size_bytes for e in entries)
     # never let the rewrite collapse to a 1-task sort on small tables — but
@@ -454,7 +477,8 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
                             removed_paths=removed,
                             summary={"pass_id": pass_id,
                                      "files": len(staged)},
-                            expected_delete_paths=expected_dels)
+                            expected_delete_paths=expected_dels,
+                            branch=branch)
     except CommitConflictError:
         # full-table rewrite lost a race (e.g. to a merge): the staged
         # layout is stale — abandon and let the caller's next cadence

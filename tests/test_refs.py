@@ -332,3 +332,56 @@ def test_branch_rooted_at_null_snapshot(spark, tmp_table_root):
     pub = t.fast_forward("ingest")
     assert pub.snapshot_id == t.current_snapshot().snapshot_id
     assert sorted_rows(scan(spark, t)) == want
+
+
+def test_branch_aware_maintenance_compacts_audit_branch(spark,
+                                                        tmp_table_root):
+    """Branch-aware maintenance (VERDICT r5 task #2): micro-batches onto a
+    WAP audit branch fragment the branch into small files; compact(branch=)
+    retires them ON THE BRANCH — branch scan byte-identical, main untouched
+    — and fast_forward publishes the compacted layout, not the fragments."""
+    from engine.maintain import compact, compact_deletes, rewrite_deletes
+    from engine.merge import merge_into
+
+    t, df = _setup(spark, tmp_table_root, convs=20)
+    main_before = sorted_rows(scan(spark, t))
+    main_snap = t.current_snapshot().snapshot_id
+    t.create_branch("audit")
+    for i in range(4):  # streaming micro-batches land as tiny files
+        b = (generate_transcripts(spark, num_convs=3)
+             .withColumn("conv_id",
+                         F.concat(F.lit(f"mb{i}-"), F.col("conv_id"))))
+        append(t, b, num_files=2, branch="audit")
+    # a sparse MoR merge on the branch adds a delete-file backlog there
+    src = (scan(spark, t, ref="audit").filter("conv_id like 'mb0-%'")
+           .select("conv_id", "turn_idx").orderBy("conv_id", "turn_idx")
+           .limit(3).withColumn("upd_text", F.lit("branch-edit")))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="bmor",
+               mode="mor", branch="audit")
+    want = sorted_rows(scan(spark, t, ref="audit"),
+                       cols=("conv_id", "turn_idx", "text"))
+    files_before = len(t.manifest_entries(t.ref_snapshot("audit")))
+    assert files_before >= 9
+
+    # the branch cadence: fold deletes, retire the backlog, bin-pack
+    compact_deletes(spark, t, pass_id="b-fold", branch="audit")
+    rewrite_deletes(spark, t, target_bytes=1 << 30, pass_id="b-rwdel",
+                    branch="audit")
+    snap = compact(spark, t, target_bytes=1 << 30, pass_id="b-cmp",
+                   branch="audit")
+    assert snap is not None
+    head = t.ref_snapshot("audit")
+    assert len(t.manifest_entries(head)) < files_before
+    assert not t.manifest_entries(head, content="deletes")
+    # branch content is byte-identical through the maintenance
+    assert sorted_rows(scan(spark, t, ref="audit"),
+                       cols=("conv_id", "turn_idx", "text")) == want
+    # main never moved and never saw the branch's files
+    assert t.current_snapshot().snapshot_id == main_snap
+    assert sorted_rows(scan(spark, t)) == main_before
+
+    # publish: the compacted layout (not the fragments) reaches main
+    pub = t.fast_forward("audit")
+    assert pub.snapshot_id == head.snapshot_id
+    assert sorted_rows(scan(spark, t),
+                       cols=("conv_id", "turn_idx", "text")) == want
