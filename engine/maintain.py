@@ -152,13 +152,18 @@ def compact(spark: SparkSession, table: Table,
         mapping = F.broadcast(
             spark.createDataFrame(route, "__cmp_base string, __cmp_rep long"))
         paths = [os.path.join(table.root, e.path) for _, g in todo for e in g]
-        from .scan import _table_reader
+        from .scan import _table_reader, reconcile_schema
         # schema-merging reader: a bin-pack group can mix pre- and
         # post-add_column files — a plain read would take one footer's
         # schema and silently drop the evolved column from the rewrite
         df = (_table_reader(spark, table).parquet(*paths)
               .withColumn("__cmp_base",
                           F.element_at(F.split(F.input_file_name(), "/"), -1)))
+        # physical schema migration rides the rewrite for free: renamed
+        # columns come out under their current name, dropped columns'
+        # bytes are actually shed (the metadata-only rename/drop promised
+        # exactly this at the next rewrite)
+        df = reconcile_schema(table, df)
         if dels:
             # merge-on-read: fold the equality deletes into the rewritten
             # groups (the compacted file takes a new sequence number, so an

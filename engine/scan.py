@@ -33,25 +33,67 @@ _DELETE_SEQ_COL = "__delete_seq"
 
 def _table_reader(spark: SparkSession, table: Table):
     """The parquet reader for this table's data files: schema-merging ONLY
-    when the table has evolved (``add_column``) — pre-add files lack the
-    new column physically and a plain read would take one file's footer as
-    THE schema, silently dropping the column from the scan. Un-evolved
-    tables (the steady state) pay zero extra footer work."""
+    when the table has evolved (``add_column`` / ``rename_column`` /
+    ``drop_column``) — pre-add files lack the new column physically, and
+    pre-rename files carry the old physical name, so a plain read would
+    take one file's footer as THE schema and silently drop columns from
+    the scan. Un-evolved tables (the steady state) pay zero extra footer
+    work."""
     reader = spark.read
-    if table.schema_adds():
+    if table.schema_adds() or any(
+            len(c["names"]) > 1 or c.get("dropped")
+            for c in table.schema_cols()):
         reader = reader.option("mergeSchema", "true")
     return reader
 
 
-def reconcile_added_columns(table: Table, df: DataFrame) -> DataFrame:
-    """Additive schema evolution, read side: every registered added column
-    exists on the way out — typed nulls when NO live file carries it yet
-    (mergeSchema can only merge columns that exist somewhere)."""
-    for a in table.schema_adds():
-        if a["name"] not in df.columns:
-            df = df.withColumn(a["name"],
-                               F.lit(None).cast(a["type"]))
+def reconcile_schema(table: Table, df: DataFrame) -> DataFrame:
+    """Schema evolution, read side (column-id mapping + additive fill):
+
+    1. rename/drop registry (``Table.schema_cols``): every historical
+       physical name maps to its column id's CURRENT name — a single old
+       name is renamed in place, mixed pre/post-rename files (mergeSchema
+       yields both names, each null where absent) coalesce newest-first,
+       and dropped ids disappear from the output;
+    2. additive evolution (``Table.schema_adds``): every registered added
+       column exists on the way out — typed nulls when NO live file
+       carries it yet (mergeSchema can only merge columns that exist
+       somewhere). An add that was later renamed fills under its current
+       name; an add that was later dropped is not filled."""
+    meta = table.load_metadata()   # one metadata read serves both passes
+    cols = meta.get("schema_cols", [])
+    adds = meta.get("schema_adds", [])
+    for c in cols:
+        names = c["names"]
+        present = [n for n in names if n in df.columns]
+        if c.get("dropped"):
+            if present:
+                df = df.drop(*present)
+            continue
+        cur = names[-1]
+        if not present or present == [cur]:
+            continue
+        if len(present) == 1:
+            df = df.withColumnRenamed(present[0], cur)
+        else:
+            expr = F.coalesce(*[F.col(n) for n in reversed(present)])
+            df = (df.withColumn("__evo_tmp", expr).drop(*present)
+                  .withColumnRenamed("__evo_tmp", cur))
+    # resolve an add's CURRENT name through the registry (renames/drops of
+    # added columns)
+    by_hist = {n: c for c in cols for n in c["names"]}
+    for a in adds:
+        c = by_hist.get(a["name"])
+        if c is not None and c.get("dropped"):
+            continue
+        cur = c["names"][-1] if c is not None else a["name"]
+        if cur not in df.columns:
+            df = df.withColumn(cur, F.lit(None).cast(a["type"]))
     return df
+
+
+# historical name kept for back-compat with pre-rename call sites
+reconcile_added_columns = reconcile_schema
 
 
 def conv_overlap(a: DataFile, b: DataFile) -> bool:

@@ -162,3 +162,115 @@ def test_add_column_rejects_statless_live_column_and_reserved(spark,
         t.add_column("ghost", "double")
     with pytest.raises(ValueError, match="reserved"):
         t.add_column("__internal", "string")
+
+
+def test_rename_column_metadata_only_maps_old_data(spark, tmp_table_root):
+    """Column-id evolution (VERDICT r5 task #4): rename is metadata-only —
+    the scan shows the NEW name carrying the OLD files' data; mixed
+    pre/post-rename files coalesce; writes after the rename use the new
+    name; compaction physically migrates."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.maintain import compact
+
+    t, df = _setup(spark, tmp_table_root, convs=20, files=2)
+    t.add_column("quality", "double")
+    # era 2: files that physically carry 'quality'
+    b2 = (generate_transcripts(spark, num_convs=4)
+          .withColumn("conv_id", F.concat(F.lit("q-"), F.col("conv_id")))
+          .withColumn("quality", F.lit(0.5)))
+    append(t, b2, num_files=1)
+    files_before = {e.path for e in t.manifest_entries(content="all")}
+
+    t.rename_column("quality", "q_score")
+    # metadata-only: same files, no new snapshot
+    assert {e.path
+            for e in t.manifest_entries(content="all")} == files_before
+    out = scan(spark, t)
+    assert "q_score" in out.columns and "quality" not in out.columns
+    assert out.filter("q_score = 0.5").count() == b2.count()
+    assert out.filter("q_score is null").count() == df.count()
+
+    # era 3: writes under the NEW name — three physical eras coexist
+    b3 = (generate_transcripts(spark, num_convs=3)
+          .withColumn("conv_id", F.concat(F.lit("r-"), F.col("conv_id")))
+          .withColumn("q_score", F.lit(0.9)))
+    append(t, b3, num_files=1)
+    out = scan(spark, t)
+    assert out.filter("q_score = 0.9").count() == b3.count()
+    assert out.filter("q_score = 0.5").count() == b2.count()
+    want = sorted_rows(out, cols=("conv_id", "turn_idx", "q_score"))
+
+    # compaction over all three eras: byte-identical output, and the
+    # rewritten files physically carry 'q_score' (migration rode along)
+    snap = compact(spark, t, target_bytes=1 << 30, pass_id="evo-cmp")
+    assert snap is not None
+    assert sorted_rows(scan(spark, t),
+                       cols=("conv_id", "turn_idx", "q_score")) == want
+    for e in t.manifest_entries():
+        if e.sequence_number == snap.snapshot_id:
+            names = pq.ParquetFile(
+                os.path.join(t.root, e.path)).schema_arrow.names
+            assert "q_score" in names and "quality" not in names
+
+    # guard rails: core columns are fixed; historical names never reused
+    with pytest.raises(ValueError, match="fixed"):
+        t.rename_column("conv_id", "conversation")
+    with pytest.raises(ValueError, match="never reused"):
+        t.rename_column("q_score", "quality")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("quality", "string")
+
+
+def test_drop_column_hides_then_compaction_sheds(spark, tmp_table_root):
+    """drop_column hides the id from every scan immediately (metadata
+    only); the next compaction physically sheds the bytes. MERGE and CDC
+    on the evolved table are unaffected."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.maintain import compact
+    from engine.scan import changes_between
+
+    t, df = _setup(spark, tmp_table_root, convs=15, files=2)
+    t.add_column("tmp_label", "string")
+    b2 = (generate_transcripts(spark, num_convs=3)
+          .withColumn("conv_id", F.concat(F.lit("l-"), F.col("conv_id")))
+          .withColumn("tmp_label", F.lit("x")))
+    append(t, b2, num_files=1)
+    assert scan(spark, t).filter("tmp_label = 'x'").count() == b2.count()
+
+    t.drop_column("tmp_label")
+    out = scan(spark, t)
+    assert "tmp_label" not in out.columns
+    base = sorted_rows(out, cols=("conv_id", "turn_idx", "text"))
+
+    # MERGE on the evolved table (mixed files, dropped column present
+    # physically in one era) — CDC shows exactly the merged rows
+    s0 = t.current_snapshot().snapshot_id
+    src = (scan(spark, t).select("conv_id", "turn_idx")
+           .orderBy("conv_id", "turn_idx").limit(2)
+           .withColumn("upd_text", F.lit("evolved-edit")))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="evo-m",
+               mode="cow")
+    diff = changes_between(spark, t, s0)
+    assert "tmp_label" not in diff.columns
+    assert diff.filter("_change = 'update'").count() == 2
+    assert diff.filter("_change in ('insert','delete')").count() == 0
+
+    snap = compact(spark, t, target_bytes=1 << 30, pass_id="evo-cmp2")
+    assert snap is not None
+    for e in t.manifest_entries():
+        if e.sequence_number == snap.snapshot_id:
+            names = pq.ParquetFile(
+                os.path.join(t.root, e.path)).schema_arrow.names
+            assert "tmp_label" not in names
+    got = sorted_rows(scan(spark, t), cols=("conv_id", "turn_idx", "text"))
+    assert len(got) == len(base)
+    with pytest.raises(KeyError):
+        t.drop_column("tmp_label")   # already dropped
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("tmp_label", "double")  # name stays reserved
