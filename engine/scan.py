@@ -444,11 +444,22 @@ def incremental_scan(spark: SparkSession, table: Table,
 
 def changes_between(spark: SparkSession, table: Table,
                     from_snapshot_id: int,
-                    to_snapshot_id: int | None = None) -> DataFrame:
+                    to_snapshot_id: int | None = None,
+                    include_preimages: bool = False) -> DataFrame:
     """Exact row-level CDC between two snapshots (Iceberg changelog-scan /
     Delta CDF analog): one row per changed (conv_id, turn_idx) with
     ``_change`` ∈ {'insert', 'update', 'delete'} and the NEW row values
     (null payload for deletes).
+
+    ``include_preimages=True`` (VERDICT r5 task #5, Delta CDF's
+    ``update_preimage``) additionally emits one ``'update_preimage'`` row
+    per update carrying the OLD values, and fills delete rows' payload
+    with the old values instead of nulls — a downstream incremental
+    consumer (feature backfill, training-set diff audit) gets the old
+    value without a second time-travel scan. The full-row-compare join
+    already has both sides in hand, so the flag costs no extra read; a
+    replay consumer stays correct by simply ignoring
+    ``_change = 'update_preimage'`` rows.
 
     Computed as a full-row-compare anti-join of the two snapshot reads —
     correct for every commit kind (append, CoW merge, MoR merge,
@@ -501,21 +512,39 @@ def changes_between(spark: SparkSession, table: Table,
     if old_df is None:
         return new_df.withColumn("_change", F.lit("insert"))
     if new_df is None:
-        return (old_df.select(*keys)
+        gone = (old_df
                 .join(scan(spark, table,
                            snapshot_id=to_snap.snapshot_id).select(*keys),
-                      keys, "left_anti")
-                .withColumn("_change", F.lit("delete")))
+                      keys, "left_anti"))
+        if not include_preimages:
+            gone = gone.select(*keys)
+        return gone.withColumn("_change", F.lit("delete"))
     cols = new_df.columns
-    old_k = old_df.select(*keys, F.xxhash64(*cols).alias("__h_old"))
+    payload = [c for c in cols if c not in keys]
+    old_sel = [*keys, F.xxhash64(*cols).alias("__h_old")]
+    if include_preimages:
+        old_sel += [F.col(c).alias(f"__old_{c}") for c in payload]
+    old_k = old_df.select(*old_sel)
     new_k = new_df.select(*cols, F.xxhash64(*cols).alias("__h_new"))
     j = new_k.join(old_k, keys, "full")
+    upd_cond = (F.col("__h_old").isNotNull()
+                & F.col("__h_new").isNotNull()
+                & (F.col("__h_old") != F.col("__h_new")))
     inserted = (j.filter(F.col("__h_old").isNull())
                 .select(*cols).withColumn("_change", F.lit("insert")))
-    updated = (j.filter(F.col("__h_old").isNotNull()
-                        & F.col("__h_new").isNotNull()
-                        & (F.col("__h_old") != F.col("__h_new")))
+    updated = (j.filter(upd_cond)
                .select(*cols).withColumn("_change", F.lit("update")))
+    if include_preimages:
+        old_cols = [*[F.col(k) for k in keys],
+                    *[F.col(f"__old_{c}").alias(c) for c in payload]]
+        preimages = (j.filter(upd_cond)
+                     .select(*old_cols).select(*cols)
+                     .withColumn("_change", F.lit("update_preimage")))
+        deleted = (j.filter(F.col("__h_new").isNull())
+                   .select(*old_cols).select(*cols)
+                   .withColumn("_change", F.lit("delete")))
+        return (inserted.unionByName(preimages).unionByName(updated)
+                .unionByName(deleted))
     deleted = (j.filter(F.col("__h_new").isNull())
                .select(*[F.col(k) for k in keys],
                        *[F.lit(None).cast(new_df.schema[c].dataType)

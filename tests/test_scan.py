@@ -255,3 +255,73 @@ def test_manifest_list_pruning_mor_and_legacy(spark, tmp_table_root):
     # without summaries both planning passes (data + deletes) open every
     # manifest — the exact pre-upgrade cost the summaries remove
     assert t2.manifest_opens == 2 * len(t2.current_snapshot().manifests)
+
+
+def test_changes_between_preimages(spark, tmp_table_root):
+    """CDC pre-images (VERDICT r5 task #5): with include_preimages=True,
+    every update carries an 'update_preimage' row with the OLD values next
+    to the 'update' postimage, and delete rows carry the old payload
+    instead of nulls — for both MoR and CoW merge paths. Default output is
+    unchanged, and a replay ignoring preimages converges identically."""
+    from engine.merge import delete_where, merge_into
+    from engine.scan import changes_between
+
+    df = generate_transcripts(spark, num_convs=20)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=2, range_cols=["conv_id", "turn_idx"])
+    s0 = t.current_snapshot().snapshot_id
+
+    def _edit(pid, mode, tag):
+        src = (scan(spark, t).filter("conv_id = 'conv-00000003'")
+               .select("conv_id", "turn_idx").orderBy("turn_idx").limit(2)
+               .withColumn("upd_text", F.lit(tag)))
+        merge_into(spark, t, src, {"text": "upd_text"}, pass_id=pid,
+                   mode=mode)
+
+    _edit("cdc-mor", "mor", "edit-mor")
+    s1 = t.current_snapshot().snapshot_id
+    _edit("cdc-cow", "cow", "edit-cow")
+    s2 = t.current_snapshot().snapshot_id
+
+    for frm, to, tag in ((s0, s1, "edit-mor"), (s1, s2, "edit-cow")):
+        diff = changes_between(spark, t, frm, to, include_preimages=True)
+        rows = diff.collect()
+        pre = [r for r in rows if r["_change"] == "update_preimage"]
+        post = [r for r in rows if r["_change"] == "update"]
+        assert len(pre) == len(post) == 2, (tag, rows)
+        # preimage carries the OLD text, postimage the new; keys pair up
+        assert {(r["conv_id"], r["turn_idx"]) for r in pre} == \
+            {(r["conv_id"], r["turn_idx"]) for r in post}
+        assert all(r["text"] == tag for r in post)
+        assert all(r["text"] != tag and r["text"] is not None for r in pre)
+        # the default shape is untouched (no preimages)
+        d0 = changes_between(spark, t, frm, to)
+        assert d0.filter("_change = 'update_preimage'").count() == 0
+        assert d0.filter("_change = 'update'").count() == 2
+
+    # deletes: old payload filled under the flag, null without
+    from engine.scan import Predicate
+    delete_where(spark, t, [Predicate("conv_id", "eq", "conv-00000007")],
+                 pass_id="cdc-del")
+    s3 = t.current_snapshot().snapshot_id
+    d = changes_between(spark, t, s2, s3, include_preimages=True)
+    dels = d.filter("_change = 'delete'")
+    n_del = dels.count()
+    assert n_del > 0
+    assert dels.filter("text is null").count() == 0
+    plain = changes_between(spark, t, s2, s3)
+    assert plain.filter("_change = 'delete' and text is not null") \
+                .count() == 0
+    assert plain.filter("_change = 'delete'").count() == n_del
+
+    # replay ignoring preimages converges to the live table
+    replay = changes_between(spark, t, s0, s3, include_preimages=True)
+    applied = (scan(spark, t, snapshot_id=s0)
+               .join(replay.filter("_change in ('update','delete')")
+                     .select("conv_id", "turn_idx"),
+                     ["conv_id", "turn_idx"], "left_anti")
+               .unionByName(
+                   replay.filter("_change in ('insert','update')")
+                   .drop("_change")))
+    assert sorted_rows(applied, cols=("conv_id", "turn_idx", "text")) == \
+        sorted_rows(scan(spark, t), cols=("conv_id", "turn_idx", "text"))
