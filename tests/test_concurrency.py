@@ -194,3 +194,214 @@ def test_compact_replans_after_losing_race(spark, tmp_table_root,
     after = sorted([tuple(r) for r in scan(spark, t)
                     .orderBy("conv_id", "turn_idx").collect()])
     assert after == before
+
+
+def test_dml_interleaving_fuzz(spark, tmp_table_root, monkeypatch):
+    """Seeded randomized DML interleavings (VERDICT r5 task #7): per seed,
+    ops drawn from {MoR merge, CoW merge, delete_where, append, compact,
+    compact_deletes, rewrite_deletes, cluster} race in 3-thread barrier
+    phases with conflict-retry (serializable merges, so every racy overlap
+    conflicts instead of silently last-writer-winning), with a rollback_to
+    drawn in the SERIAL phase between races (rollback during in-flight
+    writes is a documented operational hazard: a rollback that resurrects
+    merge-on-read-deleted keys is invisible to the serializable checks —
+    by-design snapshot-isolation scope, so the fuzz linearizes it). Oracle:
+    every committed op records its logical effect keyed by snapshot id; the
+    commit-lock linearizes ids, so replaying effects in id order against a
+    plain dict model must reproduce the final scan exactly. Coverage: every
+    op family runs, and at least one CommitConflictError retry is observed
+    (a deterministic staged-race fallback guarantees the counter when the
+    ambient schedule happens to serialize cleanly)."""
+    import os
+    import random
+    import threading
+
+    import engine.merge as merge_mod
+    import pytest
+    from engine.format import CommitConflictError
+    from engine.maintain import (cluster, compact, compact_deletes,
+                                 rewrite_deletes)
+    from engine.merge import delete_where, merge_into
+    from engine.scan import Predicate
+
+    seeds = int(os.environ.get("ENGINE_FUZZ_SEEDS", "5"))
+    seed_base = int(os.environ.get("ENGINE_FUZZ_BASE", "7000"))
+    base = generate_transcripts(spark, num_convs=10).cache()
+    base_rows = [(r["conv_id"], int(r["turn_idx"]), r["text"])
+                 for r in base.select("conv_id", "turn_idx", "text")
+                 .collect()]
+    turns = {}
+    for c, ti, _ in base_rows:
+        turns.setdefault(c, []).append(ti)
+    convs = sorted(turns)
+    schema = base.schema
+
+    lock = threading.Lock()
+    conflicts = [0]
+    ran = set()  # op-family coverage across all seeds
+
+    for seed in range(seeds):
+        rng = random.Random(seed_base + seed)
+        t = Table.create(f"{tmp_table_root}-s{seed}")
+        append(t, base, num_files=3, range_cols=["conv_id", "turn_idx"])
+        effects = {t.current_snapshot().snapshot_id: ("init",)}
+        opn = [0]
+
+        def record(snap, eff):
+            if snap is not None and eff is not None:
+                with lock:
+                    effects[snap.snapshot_id] = eff
+
+        def make_op(r, kind=None):
+            kind = kind or r.choices(
+                ["merge", "delete", "append", "compact", "compact_deletes",
+                 "rewrite_deletes", "cluster"],
+                weights=[5, 3, 2, 2, 1, 1, 1])[0]
+            opn[0] += 1
+            pid = f"fz{seed}-{opn[0]}"
+            if kind == "merge":
+                cs = r.sample(convs, r.randint(1, 2))
+                keys = [(c, ti) for c in cs
+                        for ti in r.sample(turns[c],
+                                           min(3, len(turns[c])))]
+                tag = f"fz-{pid}"
+                mode = r.choice(["mor", "cow", "auto"])
+                src = spark.createDataFrame(
+                    [(c, ti, tag) for c, ti in keys],
+                    "conv_id string, turn_idx int, upd_text string")
+
+                def fn(p, src=src, mode=mode):
+                    return merge_into(spark, t, src, {"text": "upd_text"},
+                                      pass_id=p, mode=mode,
+                                      isolation="serializable")
+                return kind, fn, ("update", keys, tag), pid
+            if kind == "delete":
+                c = r.choice(convs)
+
+                def fn(p, c=c):
+                    return delete_where(
+                        spark, t, [Predicate("conv_id", "eq", c)],
+                        pass_id=p, mode=r.choice(["auto", "mor", "cow"]))
+                return kind, fn, ("delete_conv", c), pid
+            if kind == "append":
+                cid = f"conv-9{seed:03d}{opn[0]:04d}"
+                rows = [(cid, i, "user", f"new-{cid}-{i}", None,
+                         __import__("datetime").datetime(2026, 1, 1))
+                        for i in range(3)]
+                df = spark.createDataFrame(rows, schema)
+
+                def fn(p, df=df):
+                    return append(t, df, num_files=1)
+                return kind, fn, ("insert",
+                                  [(r0[0], r0[1], r0[3])
+                                   for r0 in rows]), pid
+            fns = {"compact": lambda p: compact(
+                       spark, t, target_bytes=1 << 20, pass_id=p),
+                   "compact_deletes": lambda p: compact_deletes(
+                       spark, t, pass_id=p),
+                   "rewrite_deletes": lambda p: rewrite_deletes(
+                       spark, t, target_bytes=1 << 20, pass_id=p),
+                   "cluster": lambda p: cluster(
+                       spark, t, "zorder", target_bytes=1 << 20,
+                       pass_id=p)}
+            return kind, fns[kind], None, pid
+
+        def attempt(op, barrier=None):
+            kind, fn, eff, pid = op
+            if barrier is not None:
+                barrier.wait()
+            for k in range(6):
+                try:
+                    snap = fn(f"{pid}-r{k}")
+                    with lock:
+                        ran.add(kind)
+                    record(snap, eff)
+                    return
+                except CommitConflictError:
+                    with lock:
+                        conflicts[0] += 1
+            raise AssertionError(f"{kind} conflicted 6 times")
+
+        # deterministic family coverage (random PARAMETERS, random
+        # interleaving): every seed races a merge against a delete, then a
+        # merge against an append, each with a third op — a layout pass
+        # cycled by seed so all four families run across any >=4-seed set
+        layout_cycle = ["compact", "compact_deletes", "rewrite_deletes",
+                        "cluster"]
+        plans = [["merge", "delete", None],
+                 ["merge", "append", layout_cycle[seed % 4]]]
+        for plan in plans:
+            ops = [make_op(rng, kind=k) for k in plan]
+            barrier = threading.Barrier(3)
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                futs = [ex.submit(attempt, op, barrier) for op in ops]
+                for f in futs:
+                    f.result()
+            # serial phase: rollback half the time, else one more DML op
+            if rng.random() < 0.5:
+                target = rng.choice(sorted(effects))
+                snap = t.rollback_to(target)
+                ran.add("rollback")
+                if snap.snapshot_id != target:  # no-op guard
+                    record(snap, ("restore", target))
+            else:
+                attempt(make_op(rng))
+
+        # serial replay oracle in snapshot-id (= commit lock) order
+        model = {(c, ti): txt for c, ti, txt in base_rows}
+        hist = {}
+        for sid in sorted(effects):
+            eff = effects[sid]
+            if eff[0] == "update":
+                for k in eff[1]:
+                    if k in model:
+                        model[k] = eff[2]
+            elif eff[0] == "delete_conv":
+                model = {k: v for k, v in model.items()
+                         if k[0] != eff[1]}
+            elif eff[0] == "insert":
+                for c, ti, txt in eff[1]:
+                    model[(c, ti)] = txt
+            elif eff[0] == "restore":
+                model = dict(hist[eff[1]])
+            hist[sid] = dict(model)
+
+        got = {(r["conv_id"], int(r["turn_idx"])): r["text"]
+               for r in scan(spark, t)
+               .select("conv_id", "turn_idx", "text").collect()}
+        assert got == model, f"seed {seed}: scan != serial replay oracle"
+
+    # op-family coverage is deterministic by construction
+    assert {"merge", "delete", "append"} <= ran, ran
+    assert set(["compact", "compact_deletes", "rewrite_deletes",
+                "cluster"][:min(seeds, 4)]) <= ran, ran
+
+    # conflict-path coverage: if the ambient schedule never collided,
+    # force the deterministic staged race (compaction commits while a CoW
+    # merge is staging) so the conflict counter is never flaky
+    if conflicts[0] == 0:
+        from engine.maintain import compact as _compact
+        t2 = Table.create(f"{tmp_table_root}-forced")
+        append(t2, base, num_files=6, range_cols=["conv_id", "turn_idx"])
+        src = spark.createDataFrame(
+            [(c, turns[c][0], "forced") for c in convs],
+            "conv_id string, turn_idx int, upd_text string")
+        real_stage = merge_mod.stage_dataframe
+        fired = []
+
+        def stage_then_lose(table, sdf, *a, **kw):
+            staged = real_stage(table, sdf, *a, **kw)
+            if not fired:
+                fired.append(True)
+                _compact(spark, t2, target_bytes=1 << 30,
+                         pass_id="fz-forced-compact")
+            return staged
+
+        monkeypatch.setattr(merge_mod, "stage_dataframe", stage_then_lose)
+        with pytest.raises(CommitConflictError):
+            merge_into(spark, t2, src, {"text": "upd_text"},
+                       pass_id="fz-forced-merge", mode="cow")
+        monkeypatch.setattr(merge_mod, "stage_dataframe", real_stage)
+        conflicts[0] += 1
+    assert conflicts[0] >= 1
+    base.unpersist()
