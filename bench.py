@@ -655,21 +655,32 @@ def main() -> None:
 
         # adaptive extension: the done-bar is a max−min PAIR spread ≤ 0.1;
         # a wider spread means at least one pair was contended (the work is
-        # byte-identical), so spend up to 2 extra pairs chasing a clean one
+        # byte-identical), so spend up to 3 extra pairs chasing a clean one
         # — but never past the wall-clock budget (the driver's harness has
-        # a finite timeout; a recorded spread note beats a truncated run)
+        # a finite timeout; a recorded spread note beats a truncated run).
+        # r5 budget rebalance (VERDICT r5 task #3): 1080 s let the driver
+        # run take only 1 of 2 extensions AND dropped the steady-N leg;
+        # that run finished ~20 min under the harness with room to spare,
+        # so the default rises to 1500 s, the extension gate RESERVES the
+        # two steady legs' cost (they are required artifacts, extensions
+        # are best-effort), and the 32-core full run moves last and
+        # becomes optional (its headline role is covered by best-4N).
         budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S",
-                                        "1080"))
+                                        "1500"))
         # predictive check (elapsed + one more pair's cost must fit) so an
         # extension pair is only started when it can finish inside the
         # budget — r4's driver run burned its budget mid-protocol and got
         # only 1 of 2 extensions
         pair_wall = ((lo_runs[-1]["total_s"] + hi_runs[-1]["total_s"]) * 1.3
                      + 10)
+        # both steady legs ≈ one 4N maintenance run + one N maintenance
+        # run at ingest scale — conservatively half a pair plus JVM spins
+        steady_reserve = pair_wall * 0.5 + 40
         extensions = 0
         while (max(_pair_effs()) - min(_pair_effs()) > 0.1
-               and extensions < 2
-               and time.time() - _t_bench_start + pair_wall < budget_s):
+               and extensions < 3
+               and (time.time() - _t_bench_start + pair_wall
+                    + steady_reserve) < budget_s):
             lo, hi = _one_pair(reps + extensions, j)
             j += 2
             lo_runs.append(lo)
@@ -677,18 +688,35 @@ def main() -> None:
             extensions += 1
         pair_effs = _pair_effs()
         spread = round(max(pair_effs) - min(pair_effs), 3)
-        full = (lo_runs[0] if args.cpus <= n_lo
-                else _run_sub(args.cpus, num_convs, work_dir, pristine)
-                if args.cpus > n_hi else hi_runs[0])
-        # steady-state ops leg: 4N always; the N width only when the budget
-        # still has a pair's worth of headroom (a parsed headline beats a
-        # perfect two-width steady table — VERDICT r4 task #6)
+        # steady-state ops leg at BOTH widths (VERDICT r4 task #6 / r5
+        # task #3): 4N unconditionally; N predictively, with its cost
+        # estimated from the measured 4N leg (2-core maintenance runs
+        # ~3x the 8-core wall on this VM, plus a JVM spin)
         steady_hi = _run_sub(n_hi, num_convs, work_dir, pristine,
                              phase="steady", cpu_offset=_off(j)); j += 1
         steady_lo = None
-        if time.time() - _t_bench_start + pair_wall < budget_s:
+        steady_lo_wall = steady_hi.get("total_s", 40.0) * 3.0 + 25
+        if time.time() - _t_bench_start + steady_lo_wall < budget_s:
             steady_lo = _run_sub(n_lo, num_convs, work_dir, pristine,
                                  phase="steady", cpu_offset=_off(j)); j += 1
+        # the 32-core full-width run LAST and only on leftover budget: it
+        # contributes the auxiliary efficiency_8_32 number and occasionally
+        # the headline, but best-4N already bounds the headline and the
+        # required artifacts above outrank it
+        full_wall = hi_runs[-1]["total_s"] * 1.3 + 15
+        full_is_real = True
+        if args.cpus <= n_lo:
+            full = lo_runs[0]
+        elif args.cpus <= n_hi:
+            full = hi_runs[0]
+        elif time.time() - _t_bench_start + full_wall < budget_s:
+            full = _run_sub(args.cpus, num_convs, work_dir, pristine)
+        else:
+            # budget exhausted: stand in the best 4N run (honest — the
+            # headline is max(full, best-4N) anyway) and null the
+            # 8->32 auxiliary, which only a real 32-core run can measure
+            full = max(hi_runs, key=lambda r: r["turns_per_sec"])
+            full_is_real = False
         shutil.rmtree(pristine, ignore_errors=True)
 
         def _median(vals: list[float]) -> float:
@@ -714,7 +742,7 @@ def main() -> None:
             "throughput_4n": best_4n,
             "n_cores": n_lo, "4n_cores": n_hi,
             "throughput_full": full["turns_per_sec"],
-            "full_cores": args.cpus,
+            "full_cores": args.cpus if full_is_real else n_hi,
             # HEADLINE: the median interleaved pair's efficiency (each pair
             # shares one ambient-load window, so drift cancels in the
             # ratio); symmetric sampling, per the documented protocol
@@ -731,8 +759,9 @@ def main() -> None:
                         "cores), pristine-copy inputs, equal samples per "
                         "width; efficiency = MEDIAN pair 4N/(4xN) ratio "
                         "(each pair shares one ambient window), extended "
-                        "up to 2 pairs while max-min pair spread > 0.1; "
-                        "best-per-width reported as auxiliary bound",
+                        "up to 3 pairs while max-min pair spread > 0.1 "
+                        "(steady-leg budget reserved); best-per-width "
+                        "reported as auxiliary bound",
             "samples_n": [r["turns_per_sec"] for r in lo_runs],
             "samples_4n": [r["turns_per_sec"] for r in hi_runs],
             "pairs": [{"n": l["turns_per_sec"], "4n": h["turns_per_sec"],
@@ -743,7 +772,7 @@ def main() -> None:
             # BENCH/BASELINE.md) — the 2→8 pair above is the honest N-vs-4N
             "efficiency_8_32": (
                 round(full["turns_per_sec"] / (4 * best_4n), 3)
-                if args.cpus == 32 else None),
+                if args.cpus == 32 and full_is_real else None),
             "median_n": _median([r["turns_per_sec"] for r in lo_runs]),
             "median_4n": _median([r["turns_per_sec"] for r in hi_runs]),
             "reps": reps,
