@@ -48,6 +48,47 @@ _MAX_BOUND_LEN = 64
 # conversation-table shape (``codes/utils/inject_missing_values.py``).
 _CORE_COLS = ("conv_id", "turn_idx", "ts", "role", "text", "tool")
 
+# lossless type promotions (Iceberg's int->long / float->double lattice,
+# plus the narrower integer steps): everything Spark 4's parquet readers
+# can upcast at scan time from the narrow physical column
+_WIDEN_OK = {
+    "tinyint": ("smallint", "int", "bigint"),
+    "smallint": ("int", "bigint"),
+    "int": ("bigint",),
+    "float": ("double",),
+}
+
+
+def _arrow_sql_type(t) -> str:
+    """Spark SQL type string for a pyarrow field type (the physical types
+    this engine writes; anything else is a registry bug)."""
+    import pyarrow as pa
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    raise ValueError(f"unmapped physical parquet type: {t}")
+
 
 class ConstraintViolation(RuntimeError):
     """A write produced rows violating a registered CHECK constraint. The
@@ -443,6 +484,82 @@ class Table:
                 raise KeyError(f"column {name!r} not found (or already "
                                "dropped)")
             entry["dropped"] = True
+            meta["version"] += 1
+            self._write_version(meta["version"], meta)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _backfill_schema_types(self, cols: list[dict]) -> None:
+        """Resolve a Spark SQL type string for every live column id that
+        lacks one (base columns carry no ``type`` until the first widen
+        needs the full physical schema): walk representative data footers
+        until each id's physical name (any name in its history) is seen.
+        Idempotent; mutates ``cols`` in place (caller persists)."""
+        need = [c for c in cols if "type" not in c and not c.get("dropped")]
+        if not need:
+            return
+        entries = [e for e in self.manifest_entries(content="all")
+                   if e.content == "data"]
+        for e in entries[:8]:
+            sch = pq.ParquetFile(os.path.join(self.root, e.path)) \
+                .schema_arrow
+            phys = {f.name: f.type for f in sch}
+            for c in list(need):
+                for n in c["names"]:
+                    if n in phys:
+                        c["type"] = _arrow_sql_type(phys[n])
+                        need.remove(c)
+                        break
+            if not need:
+                return
+        if need:
+            raise RuntimeError(
+                "cannot resolve physical types for column id(s) "
+                f"{[c['id'] for c in need]} from the first 8 data footers")
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """Metadata-only type widening (Iceberg/Delta type promotion):
+        ``tinyint→smallint→int→bigint`` and ``float→double``. No data file
+        is touched — Spark 4's parquet readers upcast narrow physical
+        columns when handed the wide read schema, so every scan switches
+        to an explicit registry-derived schema from the first widen on
+        (``engine.scan._table_reader``; plain ``mergeSchema`` refuses
+        mixed-width footers). Files written after the widen carry the wide
+        type physically; compaction migrates old files as it rewrites.
+        The fixed transcript columns cannot be widened (merge keys and
+        cluster/imputation targets pin the core schema by design)."""
+        if name in _CORE_COLS:
+            raise ValueError(f"column {name!r} is part of the fixed "
+                             "transcript schema and cannot be widened")
+        lock = self._acquire_commit_lock()
+        try:
+            meta = self.load_metadata()
+            cols = self._bootstrap_schema_cols(meta)
+            entry = next((c for c in cols
+                          if c["names"][-1] == name
+                          and not c.get("dropped")), None)
+            if entry is None:
+                raise KeyError(f"column {name!r} not found (or dropped)")
+            # the explicit read schema needs EVERY live id's type, not
+            # just the widened one — backfill once, persisted below
+            self._backfill_schema_types(cols)
+            cur_t = entry["type"]
+            if new_type == cur_t:
+                return  # idempotent no-op
+            if new_type not in _WIDEN_OK.get(cur_t, ()):
+                raise ValueError(
+                    f"cannot widen {cur_t!r} -> {new_type!r}: only lossless "
+                    f"promotions are allowed ({_WIDEN_OK})")
+            entry["type"] = new_type
+            entry["widened"] = True
+            # keep any add_column record in sync: the typed-null fill for
+            # files that never carried the column must use the wide type
+            for a in meta.get("schema_adds", []):
+                if a["name"] in entry["names"]:
+                    a["type"] = new_type
             meta["version"] += 1
             self._write_version(meta["version"], meta)
         finally:

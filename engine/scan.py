@@ -38,11 +38,30 @@ def _table_reader(spark: SparkSession, table: Table):
     pre-rename files carry the old physical name, so a plain read would
     take one file's footer as THE schema and silently drop columns from
     the scan. Un-evolved tables (the steady state) pay zero extra footer
-    work."""
+    work.
+
+    After the first ``widen_column`` the reader instead carries an
+    EXPLICIT schema derived from the column-id registry (every live id's
+    historical names at the id's current — possibly widened — type):
+    ``mergeSchema`` refuses mixed-width footers outright, while Spark 4's
+    parquet readers upcast a narrow physical column to the wide read type
+    in place. The explicit schema subsumes mergeSchema's other jobs too —
+    a name absent from a file null-fills, a dropped id's names are simply
+    omitted — and skips the footer-merge pass entirely."""
+    cols = table.schema_cols()
+    if any(c.get("widened") for c in cols):
+        from pyspark.sql import types as T
+        fields = []
+        for c in cols:
+            if c.get("dropped"):
+                continue
+            dt = T._parse_datatype_string(c["type"])
+            for n in c["names"]:
+                fields.append(T.StructField(n, dt, True))
+        return spark.read.schema(T.StructType(fields))
     reader = spark.read
     if table.schema_adds() or any(
-            len(c["names"]) > 1 or c.get("dropped")
-            for c in table.schema_cols()):
+            len(c["names"]) > 1 or c.get("dropped") for c in cols):
         reader = reader.option("mergeSchema", "true")
     return reader
 
@@ -71,14 +90,19 @@ def reconcile_schema(table: Table, df: DataFrame) -> DataFrame:
                 df = df.drop(*present)
             continue
         cur = names[-1]
-        if not present or present == [cur]:
-            continue
-        if len(present) == 1:
-            df = df.withColumnRenamed(present[0], cur)
-        else:
-            expr = F.coalesce(*[F.col(n) for n in reversed(present)])
-            df = (df.withColumn("__evo_tmp", expr).drop(*present)
-                  .withColumnRenamed("__evo_tmp", cur))
+        if present and present != [cur]:
+            if len(present) == 1:
+                df = df.withColumnRenamed(present[0], cur)
+            else:
+                expr = F.coalesce(*[F.col(n) for n in reversed(present)])
+                df = (df.withColumn("__evo_tmp", expr).drop(*present)
+                      .withColumnRenamed("__evo_tmp", cur))
+        # widened ids: belt-and-braces cast for readers that bypassed the
+        # explicit wide schema (e.g. a frame assembled before the widen);
+        # a no-op when the reader already delivered the wide type
+        if c.get("widened") and cur in df.columns \
+                and df.schema[cur].dataType.simpleString() != c["type"]:
+            df = df.withColumn(cur, F.col(cur).cast(c["type"]))
     # resolve an add's CURRENT name through the registry (renames/drops of
     # added columns)
     by_hist = {n: c for c in cols for n in c["names"]}
@@ -88,7 +112,10 @@ def reconcile_schema(table: Table, df: DataFrame) -> DataFrame:
             continue
         cur = c["names"][-1] if c is not None else a["name"]
         if cur not in df.columns:
-            df = df.withColumn(cur, F.lit(None).cast(a["type"]))
+            # the registry type wins: an added-then-widened column must
+            # null-fill at the WIDE type or unions type-clash
+            fill_t = (c or {}).get("type") or a["type"]
+            df = df.withColumn(cur, F.lit(None).cast(fill_t))
     return df
 
 

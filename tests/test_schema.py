@@ -274,3 +274,83 @@ def test_drop_column_hides_then_compaction_sheds(spark, tmp_table_root):
         t.drop_column("tmp_label")   # already dropped
     with pytest.raises(ValueError, match="already exists"):
         t.add_column("tmp_label", "double")  # name stays reserved
+
+
+def test_widen_column_metadata_only_upcasts_old_files(spark,
+                                                      tmp_table_root):
+    """Type widening (the 'widen' leg of VERDICT r5 task #4): int→bigint /
+    float→double are metadata-only — old narrow files upcast at scan via
+    the registry-derived explicit read schema (plain mergeSchema refuses
+    mixed-width footers), values beyond the narrow range land after the
+    widen, MERGE works across eras, compaction migrates physically, and
+    widen composes with rename."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.maintain import compact
+
+    t, df = _setup(spark, tmp_table_root, convs=20, files=2)
+    t.add_column("score", "int")
+    b2 = (generate_transcripts(spark, num_convs=4)
+          .withColumn("conv_id", F.concat(F.lit("w-"), F.col("conv_id")))
+          .withColumn("score", F.lit(7).cast("int")))
+    append(t, b2, num_files=1)
+    files_before = {e.path for e in t.manifest_entries(content="all")}
+    sid_before = t.current_snapshot().snapshot_id
+
+    t.widen_column("score", "bigint")
+    # metadata-only: no file touched, no snapshot committed
+    assert {e.path
+            for e in t.manifest_entries(content="all")} == files_before
+    assert t.current_snapshot().snapshot_id == sid_before
+    out = scan(spark, t)
+    assert dict(out.dtypes)["score"] == "bigint"
+    assert out.filter("score = 7").count() == b2.count()
+    assert out.filter("score is null").count() == df.count()
+
+    # era 3: values only the WIDE type can carry
+    big = 5_000_000_000
+    b3 = (generate_transcripts(spark, num_convs=3)
+          .withColumn("conv_id", F.concat(F.lit("x-"), F.col("conv_id")))
+          .withColumn("score", F.lit(big).cast("bigint")))
+    append(t, b3, num_files=1)
+    out = scan(spark, t)
+    assert out.filter(f"score = {big}").count() == b3.count()
+    assert out.filter("score = 7").count() == b2.count()
+
+    # MERGE over mixed narrow/wide eras (MoR: insert file is wide)
+    src = (scan(spark, t).filter("score = 7")
+           .select("conv_id", "turn_idx").orderBy("conv_id", "turn_idx")
+           .limit(2).withColumn("upd_score", F.lit(big + 1)))
+    merge_into(spark, t, src, {"score": "upd_score"}, pass_id="wd-m",
+               mode="mor")
+    out = scan(spark, t)
+    assert out.filter(f"score = {big + 1}").count() == 2
+    assert out.filter("score = 7").count() == b2.count() - 2
+    want = sorted_rows(out, cols=("conv_id", "turn_idx", "score"))
+
+    # compaction migrates the physical type as it rewrites
+    snap = compact(spark, t, target_bytes=1 << 30, pass_id="wd-cmp")
+    assert snap is not None
+    assert sorted_rows(scan(spark, t),
+                       cols=("conv_id", "turn_idx", "score")) == want
+    for e in t.manifest_entries():
+        if e.sequence_number == snap.snapshot_id:
+            sch = pq.ParquetFile(
+                os.path.join(t.root, e.path)).schema_arrow
+            assert pa.types.is_int64(sch.field("score").type)
+
+    # guard rails: no narrowing, no core columns; idempotent re-widen
+    with pytest.raises(ValueError, match="widen"):
+        t.widen_column("score", "int")
+    with pytest.raises(ValueError, match="fixed"):
+        t.widen_column("turn_idx", "bigint")
+    t.widen_column("score", "bigint")  # no-op
+
+    # composes with rename: new name, wide type, same values
+    t.rename_column("score", "score64")
+    out = scan(spark, t)
+    assert dict(out.dtypes)["score64"] == "bigint"
+    assert sorted_rows(out, cols=("conv_id", "turn_idx", "score64")) == want
