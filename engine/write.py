@@ -114,7 +114,8 @@ def range_bounds_from_entries(entries: list[DataFile], num_files: int,
     conversation cut points come from the manifest too: a single-conv file
     is cut at turn positions interpolated from its turn min/max stats
     (turn_idx is dense per conversation, per the table schema), and a run
-    of same-conv files is cut at each file's turn min. No data is read;
+    of same-conv files is cut at the continuation point (a pure file's own
+    turn min; a mixed file's predecessor turn max + 1). No data is read;
     scalar boundaries are emitted everywhere the conv key alone suffices,
     so the default output is byte-identical to the turn-free form."""
     if num_files <= 1:
@@ -138,34 +139,78 @@ def range_bounds_from_entries(entries: list[DataFile], num_files: int,
 
     bounds: list = []
     cum = 0
-    prev_mx: str | None = None
+    # sliver guard (composite mode only, to keep the turn-free output
+    # byte-identical to before): when mixed files force the walk to fall
+    # behind the row targets — cuts can only land at file starts or inside
+    # PURE single-conv files — the stale targets must be SKIPPED, not
+    # chased: chasing them emitted degenerate cuts one turn apart
+    # (max(1, round(frac<=0)) == 1), and every wasted cut slot left a ~2x
+    # straggler piece elsewhere. A cut is only emitted when the piece it
+    # closes holds at least half a target of rows.
+    min_piece = per / 2 if turn_col else 0.0
+    last_cut = 0.0  # row position (in cum terms) of the last emitted cut
+    prev_tmx = None      # the immediately preceding file's turn max
+    prev_file_mx = None  # ... and its conv max (continuation detection)
     for mn, mx, tmn, tmx, n in stats:
-        if cum >= per * (len(bounds) + 1) and len(bounds) < num_files - 1:
+        cuttable = (turn_col is not None and mn == mx and tmn is not None
+                    and tmx is not None and n > per)
+        # nearest-target rule: a boundary can only land at a file START
+        # (except inside pure oversized single-conv files, which the
+        # internal cutter below splits exactly), so demanding cum to have
+        # PASSED the target lets a file ending just short of it inflate
+        # the piece to ~2x target. Cut when within half the smaller of
+        # (this file, one target) of the target instead — never for
+        # internally-cuttable files, where the exact cut is available.
+        slack = 0.0 if cuttable else min(n, per) / 2
+        if (cum >= per * (len(bounds) + 1) - slack
+                and len(bounds) < num_files - 1
+                and cum - last_cut >= min_piece):
             cand: str | tuple = mn
             if (turn_col and tmn is not None
-                    and prev_mx is not None and prev_mx >= mn):
+                    and prev_file_mx is not None and prev_file_mx >= mn):
                 # the conversation continues across the file break (a run of
                 # same-conv files): a conv-only boundary here would split
-                # NOTHING (or mid-conv, wrongly) — cut at this file's turn
-                # start instead
-                cand = (mn, int(tmn))
+                # NOTHING (or mid-conv, wrongly) — cut at the continuation
+                # point instead. For a PURE continuation file its turn-min
+                # is that point exactly; for a MIXED file the turn-min is
+                # polluted by its other conversations (their turns restart
+                # at 0), so the previous file's turn-max + 1 — where the
+                # carrying conversation must resume, files being
+                # (conv, turn)-sorted — is the honest stats-only estimate.
+                # Continuation is judged against the IMMEDIATE predecessor
+                # only: a cumulative max would claim a continuation (and a
+                # garbage turn estimate) across files whose key ranges
+                # OVERLAP (a sampling-written layout can interleave) —
+                # there the plain conv cut is the only sound choice.
+                cont = (int(tmn) if mn == mx or prev_tmx is None
+                        else int(prev_tmx) + 1)
+                cand = (mn, cont)
             if not bounds or _key(cand) > _key(bounds[-1]):
                 bounds.append(cand)
-        if (turn_col and mn == mx and tmn is not None and tmx is not None
-                and n > per):
+                last_cut = cum
+        if cuttable:
             # oversized single-conversation file: internal composite cuts at
-            # interpolated turn positions
-            while (cum + n > per * (len(bounds) + 1)
-                   and len(bounds) < num_files - 1):
-                frac = (per * (len(bounds) + 1) - cum) / n
+            # interpolated turn positions (turn_idx is dense per
+            # conversation, so interpolation over [tmn, tmx] is near-exact)
+            k = len(bounds) + 1
+            while per * k < cum + n and len(bounds) < num_files - 1:
+                target = per * k
+                if target <= cum or target - last_cut < min_piece:
+                    k += 1  # stale or sliver-sized target: skip, don't cut
+                    continue
+                frac = (target - cum) / n
                 turn = int(tmn) + max(
                     1, int(round(frac * (int(tmx) - int(tmn) + 1))))
                 cand = (mn, turn)
                 if bounds and _key(cand) <= _key(bounds[-1]):
-                    break
+                    k += 1  # interpolation collided with the last cut
+                    continue
                 bounds.append(cand)
+                last_cut = target
+                k = len(bounds) + 1
         cum += n
-        prev_mx = mx if prev_mx is None else max(prev_mx, mx)
+        prev_tmx = tmx
+        prev_file_mx = mx
     return bounds
 
 
