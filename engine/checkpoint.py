@@ -117,14 +117,29 @@ def _tombstone_index_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "_committed.index")
 
 
+_tombstone_cache: dict = {}  # path -> ((mtime_ns, size), frozenset of keys)
+
+
 def _committed_tombstones(ckpt_dir: str) -> set[str]:
     """Pass keys (``<op>-<pass_id>``) of committed passes whose full logs
-    were reaped. Append-only, one key per line."""
+    were reaped. Append-only, one key per line. Every FRESH pass start
+    consults this (its own log is empty), so the parse is cached per
+    (mtime, size) — the index grows one line per committed-then-expired
+    pass forever, and an O(lifetime-passes) read per streaming micro-batch
+    would dominate at cadence."""
     path = _tombstone_index_path(ckpt_dir)
-    if not os.path.exists(path):
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
         return set()
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _tombstone_cache.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
     with open(path) as f:
-        return {line.strip() for line in f if line.strip()}
+        keys = frozenset(line.strip() for line in f if line.strip())
+    _tombstone_cache[path] = (key, keys)
+    return keys
 
 
 def record_committed_tombstone(ckpt_dir: str, pass_key: str) -> None:

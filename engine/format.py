@@ -48,6 +48,11 @@ _MAX_BOUND_LEN = 64
 # conversation-table shape (``codes/utils/inject_missing_values.py``).
 _CORE_COLS = ("conv_id", "turn_idx", "ts", "role", "text", "tool")
 
+# the fixed transcript schema's physical types (BASELINE.json input_hint) —
+# the registry bootstrap's footer-free fallback
+_CORE_TYPES = {"conv_id": "string", "turn_idx": "int", "ts": "timestamp",
+               "role": "string", "text": "string", "tool": "string"}
+
 # lossless type promotions (Iceberg's int->long / float->double lattice,
 # plus the narrower integer steps): everything Spark 4's parquet readers
 # can upcast at scan time from the narrow physical column
@@ -396,13 +401,18 @@ class Table:
         cols = meta.get("schema_cols")
         if cols is not None:
             return cols
-        names: list[str] = []
         entries = [e for e in self.manifest_entries(content="all")
                    if e.content == "data"]
         if entries:
             names = [n for n in pq.ParquetFile(os.path.join(
                 self.root, entries[0].path)).schema_arrow.names
                 if not n.startswith("__")]
+        else:
+            # no data file yet: the fixed transcript schema IS the base —
+            # bootstrapping to adds-only here would permanently drop the
+            # core columns from the registry (and, after a widen, from the
+            # explicit read schema of every scan)
+            names = list(_CORE_COLS)
         cols = [{"id": i + 1, "names": [n]} for i, n in enumerate(names)]
         taken = set(names)
         for a in meta.get("schema_adds", []):
@@ -499,6 +509,14 @@ class Table:
         until each id's physical name (any name in its history) is seen.
         Idempotent; mutates ``cols`` in place (caller persists)."""
         need = [c for c in cols if "type" not in c and not c.get("dropped")]
+        # the fixed transcript columns need no footer (they cannot be
+        # renamed, so names[0] is authoritative) — and a pre-first-append
+        # table HAS no footer to consult
+        for c in list(need):
+            t = _CORE_TYPES.get(c["names"][0])
+            if t is not None:
+                c["type"] = t
+                need.remove(c)
         if not need:
             return
         entries = [e for e in self.manifest_entries(content="all")
@@ -730,7 +748,8 @@ class Table:
 
     def manifest_entries(self, snapshot: Snapshot | None = None,
                          content: str = "data",
-                         predicates: list | None = None) -> list[DataFile]:
+                         predicates: list | None = None,
+                         seq_below: int | None = None) -> list[DataFile]:
         """Files referenced by a snapshot (its manifest list). ``content``
         filters by entry kind — the default 'data' keeps every pre-existing
         consumer (scan pruning, compaction planning, stats) blind to
@@ -756,6 +775,14 @@ class Table:
                 if content == "data" and not md.get("data", 1):
                     continue
                 if content == "deletes" and not md.get("deletes", 0):
+                    continue
+                # shadow-ability skip (rewrite_deletes planning): a delete
+                # row only shadows data with a STRICTLY SMALLER sequence,
+                # so a manifest whose min_seq is at/above the backlog's
+                # max delete seq holds no candidate — never opened
+                if (seq_below is not None
+                        and md.get("min_seq") is not None
+                        and md["min_seq"] >= seq_below):
                     continue
                 if predicates:
                     ranges = md.get("ranges") or {}
@@ -1185,11 +1212,22 @@ class Table:
             del refs[name]
         self._mutate_refs(fn)
 
-    def ref_snapshot(self, name: str) -> Snapshot:
+    def ref_snapshot(self, name: str,
+                     allow_empty: bool = False) -> Snapshot | None:
+        """The snapshot a ref points at. A branch rooted at the null
+        snapshot (legal since streaming WAP must be able to start on a
+        fresh table) has NO head yet: with ``allow_empty`` that returns
+        None — callers mirror their empty-main behavior — while the
+        default raises, because most consumers (scan, fast_forward) have
+        nothing meaningful to do with an empty branch and passing the
+        None through ``manifest_entries`` would silently fall back to
+        MAIN's current snapshot."""
         r = self.refs().get(name)
         if r is None:
             raise KeyError(f"ref {name!r} not found")
         if r["snapshot_id"] is None:
+            if allow_empty:
+                return None
             raise KeyError(f"ref {name!r} has no commits yet (branch "
                            "rooted at the null snapshot)")
         return self.snapshot(r["snapshot_id"])

@@ -61,7 +61,11 @@ def _plan_snapshot(table: Table, branch: str | None) -> Snapshot | None:
     ``fast_forward`` would then publish the fragmentation to main."""
     if branch is None:
         return table.current_snapshot()
-    return table.ref_snapshot(branch)
+    # a null-rooted branch (no commits yet) plans as EMPTY — the caller
+    # no-ops, exactly like every pass does on an empty main table. The
+    # allow_empty=False default would raise; passing the None through
+    # manifest_entries would silently plan MAIN's files onto the branch.
+    return table.ref_snapshot(branch, allow_empty=True)
 
 
 def compact(spark: SparkSession, table: Table,
@@ -112,6 +116,8 @@ def compact(spark: SparkSession, table: Table,
     if adopted is not None:
         return adopted
     plan_snap = _plan_snapshot(table, branch)
+    if branch is not None and plan_snap is None:
+        return None  # null-rooted branch: nothing to compact yet
     entries = table.manifest_entries(plan_snap)
     groups = plan_compaction(entries, target_bytes)
     if not groups:
@@ -269,10 +275,30 @@ def rewrite_deletes(spark: SparkSession, table: Table,
         return adopted
     from .scan import shadowable
     plan_snap = _plan_snapshot(table, branch)
+    if branch is not None and plan_snap is None:
+        return None  # null-rooted branch: no backlog yet
     dels = table.manifest_entries(plan_snap, content="deletes")
     if not dels:
         return None
-    data = table.manifest_entries(plan_snap)
+    # manifest-list shadow pruning: whole data manifests at/above the
+    # backlog's max delete sequence hold no shadowable file and are never
+    # opened — at the 100 TB design point the freshly-compacted bulk of
+    # the tree skips here. The threshold comes from the manifest-list
+    # del_max_seq summaries when present (no delete manifest consulted),
+    # else from the already-opened delete entries (legacy snapshots).
+    from .scan import delete_max_seq
+    sums = [plan_snap.manifest_meta.get(mf) for mf in plan_snap.manifests]
+    if any(md is None or (md.get("deletes", 0)
+                          and md.get("del_max_seq") is None)
+           for md in sums):
+        # a legacy manifest (no summary) might carry deletes the summary
+        # walk can't see — an UNDERSTATED threshold would skip shadowable
+        # data and resurrect rows, so fall back to the opened entries
+        del_max = max(delete_max_seq(d) for d in dels)
+    else:
+        del_max = max(md["del_max_seq"] for md in sums
+                      if md.get("del_max_seq") is not None)
+    data = table.manifest_entries(plan_snap, seq_below=del_max)
     affected = [e for e in data if any(shadowable(e, d) for d in dels)]
     removed = {e.path for e in affected} | {d.path for d in dels}
     expected_dels = {d.path for d in dels}
@@ -360,8 +386,10 @@ def compact_deletes(spark: SparkSession, table: Table,
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
-    dels = table.manifest_entries(_plan_snapshot(table, branch),
-                                  content="deletes")
+    fold_snap = _plan_snapshot(table, branch)
+    if branch is not None and fold_snap is None:
+        return None  # null-rooted branch: no backlog yet
+    dels = table.manifest_entries(fold_snap, content="deletes")
     if len(dels) <= 1:
         return None
     removed = {d.path for d in dels}
@@ -421,6 +449,8 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
     if adopted is not None:
         return adopted
     plan_snap = _plan_snapshot(table, branch)
+    if branch is not None and plan_snap is None:
+        return None  # null-rooted branch: nothing to cluster yet
     entries = table.manifest_entries(plan_snap)
     delete_entries = table.manifest_entries(plan_snap, content="deletes")
     in_paths = [e.path for e in entries]
@@ -796,7 +826,10 @@ def expire_checkpoints(table: Table,
             # forever via the compact tombstone index (ADVICE r5)
             from .checkpoint import record_committed_tombstone
             record_committed_tombstone(ckpt_dir, fn[:-len(".jsonl")])
-        os.remove(path)
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            continue  # a concurrent maintenance pass reaped it first
         removed.append(fn)
     return removed
 

@@ -362,7 +362,7 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
                ts_bounds: tuple[int, int] | None = None,
                mode: str = "auto",
                isolation: str = "snapshot",
-               branch: str | None = None) -> Snapshot:
+               branch: str | None = None) -> Snapshot | None:
     """MERGE INTO table USING source ON (conv_id, turn_idx)
     WHEN MATCHED THEN UPDATE SET col = coalesce(source.upd_col, col).
 
@@ -421,7 +421,7 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "merge")
     if ckpt.pass_committed():
-        return (table.ref_snapshot(branch) if branch
+        return (table.ref_snapshot(branch, allow_empty=True) if branch
                 else table.current_snapshot())
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
@@ -457,8 +457,10 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
             broadcast_source = source_bytes <= BROADCAST_MAX_BYTES
 
     t_meta = time.time()
-    snap = (table.ref_snapshot(branch) if branch
+    snap = (table.ref_snapshot(branch, allow_empty=True) if branch
             else table.current_snapshot())
+    if branch is not None and snap is None:
+        return None  # null-rooted branch: nothing to match against yet
     entries = table.manifest_entries(snap)
     affected = prune_files(entries, preds)
     affected_paths = [e.path for e in affected]
@@ -676,13 +678,15 @@ def delete_where(spark: SparkSession, table: Table,
     pass_id = pass_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(table.root, pass_id, "delete")
     if ckpt.pass_committed():
-        return (table.ref_snapshot(branch) if branch
+        return (table.ref_snapshot(branch, allow_empty=True) if branch
                 else table.current_snapshot())
     adopted = _adopt_crashed_commit(table, ckpt, pass_id)
     if adopted is not None:
         return adopted
-    snap = (table.ref_snapshot(branch) if branch
+    snap = (table.ref_snapshot(branch, allow_empty=True) if branch
             else table.current_snapshot())
+    if branch is not None and snap is None:
+        return None  # null-rooted branch: no rows can match yet
     # two-level prune: manifest-list summaries skip whole manifests, file
     # stats prune the rest — a targeted DELETE never parses the full
     # manifest tree on the driver

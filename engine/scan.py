@@ -31,7 +31,7 @@ MERGE_KEYS = ("conv_id", "turn_idx")
 _DELETE_SEQ_COL = "__delete_seq"
 
 
-def _table_reader(spark: SparkSession, table: Table):
+def _table_reader(spark: SparkSession, table: Table, meta: dict | None = None):
     """The parquet reader for this table's data files: schema-merging ONLY
     when the table has evolved (``add_column`` / ``rename_column`` /
     ``drop_column``) — pre-add files lack the new column physically, and
@@ -48,7 +48,13 @@ def _table_reader(spark: SparkSession, table: Table):
     in place. The explicit schema subsumes mergeSchema's other jobs too —
     a name absent from a file null-fills, a dropped id's names are simply
     omitted — and skips the footer-merge pass entirely."""
-    cols = table.schema_cols()
+    # callers on the scan path pass the already-loaded metadata: one scan
+    # otherwise re-parses the full table metadata (snapshot log +
+    # manifest-list summaries) up to 5x — driver-side seconds at the
+    # 100 TB design point, the exact cost two-level planning removes
+    if meta is None:
+        meta = table.load_metadata()
+    cols = meta.get("schema_cols", [])
     if any(c.get("widened") for c in cols):
         from pyspark.sql import types as T
         fields = []
@@ -60,13 +66,14 @@ def _table_reader(spark: SparkSession, table: Table):
                 fields.append(T.StructField(n, dt, True))
         return spark.read.schema(T.StructType(fields))
     reader = spark.read
-    if table.schema_adds() or any(
+    if meta.get("schema_adds") or any(
             len(c["names"]) > 1 or c.get("dropped") for c in cols):
         reader = reader.option("mergeSchema", "true")
     return reader
 
 
-def reconcile_schema(table: Table, df: DataFrame) -> DataFrame:
+def reconcile_schema(table: Table, df: DataFrame,
+                     meta: dict | None = None) -> DataFrame:
     """Schema evolution, read side (column-id mapping + additive fill):
 
     1. rename/drop registry (``Table.schema_cols``): every historical
@@ -79,7 +86,8 @@ def reconcile_schema(table: Table, df: DataFrame) -> DataFrame:
        carries it yet (mergeSchema can only merge columns that exist
        somewhere). An add that was later renamed fills under its current
        name; an add that was later dropped is not filled."""
-    meta = table.load_metadata()   # one metadata read serves both passes
+    if meta is None:
+        meta = table.load_metadata()   # one metadata read serves both passes
     cols = meta.get("schema_cols", [])
     adds = meta.get("schema_adds", [])
     for c in cols:
@@ -198,7 +206,8 @@ def delete_rows_with_seq(spark: SparkSession, table: Table,
 
 def read_with_deletes(spark: SparkSession, table: Table,
                       data_entries: list[DataFile],
-                      delete_entries: list[DataFile]) -> DataFrame:
+                      delete_entries: list[DataFile],
+                      meta: dict | None = None) -> DataFrame:
     """Delete-applied read of ``data_entries``, split by sequence number:
 
     files OLDER than every delete row (the overwhelming bulk — the base
@@ -209,16 +218,19 @@ def read_with_deletes(spark: SparkSession, table: Table,
     MoR insert files of later generations) take the seq-aware path of
     ``apply_equality_deletes``. Measured: the split cuts the scan-time
     delete overhead ~4× on a 1.4M-row table with a 3-generation backlog."""
+    if meta is None:
+        meta = table.load_metadata()
     if not delete_entries:
         return reconcile_added_columns(
-            table, _table_reader(spark, table).parquet(
-                *[os.path.join(table.root, e.path) for e in data_entries]))
+            table, _table_reader(spark, table, meta).parquet(
+                *[os.path.join(table.root, e.path)
+                  for e in data_entries]), meta)
     min_del = min(delete_min_seq(d) for d in delete_entries)
     old = [e for e in data_entries if e.sequence_number < min_del]
     new = [e for e in data_entries if e.sequence_number >= min_del]
     parts = []
     if old:
-        df_old = _table_reader(spark, table).parquet(
+        df_old = _table_reader(spark, table, meta).parquet(
             *[os.path.join(table.root, e.path) for e in old])
         dels = (delete_rows_with_seq(spark, table, delete_entries)
                 .select(*MERGE_KEYS))
@@ -227,7 +239,7 @@ def read_with_deletes(spark: SparkSession, table: Table,
             dels = F.broadcast(dels)
         parts.append(df_old.join(dels, list(MERGE_KEYS), "left_anti"))
     if new:
-        df_new = _table_reader(spark, table).parquet(
+        df_new = _table_reader(spark, table, meta).parquet(
             *[os.path.join(table.root, e.path) for e in new])
         parts.append(apply_equality_deletes(spark, table, df_new, new,
                                             delete_entries))
@@ -235,7 +247,7 @@ def read_with_deletes(spark: SparkSession, table: Table,
     for p in parts[1:]:
         # post-evolution inserts may carry a column the pre-add base lacks
         out = out.unionByName(p, allowMissingColumns=True)
-    return reconcile_added_columns(table, out)
+    return reconcile_added_columns(table, out, meta)
 
 
 def apply_equality_deletes(spark: SparkSession, table: Table, df: DataFrame,
@@ -415,6 +427,7 @@ def scan(spark: SparkSession, table: Table,
     # within the manifests that remain
     entries = table.manifest_entries(snap, predicates=predicates)
     entries = prune_files(entries, predicates)
+    meta = table.load_metadata()  # ONE parse serves reader + reconciliation
     if not entries:
         # empty relation with the right schema: read zero files is an error,
         # so read one file's schema then filter everything out is wasteful;
@@ -435,11 +448,11 @@ def scan(spark: SparkSession, table: Table,
         if dels:
             dels = prune_files(dels, predicates)
         if dels:
-            df = read_with_deletes(spark, table, entries, dels)
+            df = read_with_deletes(spark, table, entries, dels, meta)
         else:
             paths = [os.path.join(table.root, e.path) for e in entries]
-            df = _table_reader(spark, table).parquet(*paths)
-    df = reconcile_added_columns(table, df)
+            df = _table_reader(spark, table, meta).parquet(*paths)
+    df = reconcile_added_columns(table, df, meta)
     if columns:
         df = df.select(*columns)
     return df

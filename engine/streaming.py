@@ -40,7 +40,7 @@ def ingest_batch(spark: SparkSession, table: Table, batch: DataFrame,
     against the BRANCH state, so stacked batches compose); main is
     untouched until ``Table.fast_forward`` publishes the audited stream."""
     batch = batch.dropDuplicates(list(MERGE_KEYS)).persist()
-    head = (table.ref_snapshot(branch) if branch
+    head = (table.ref_snapshot(branch, allow_empty=True) if branch
             else table.current_snapshot())
     if head is None:
         append(table, batch, num_files=target_files or 1,

@@ -277,11 +277,15 @@ def test_dml_interleaving_fuzz(spark, tmp_table_root, monkeypatch):
                 return kind, fn, ("update", keys, tag), pid
             if kind == "delete":
                 c = r.choice(convs)
+                # mode drawn ONCE here: drawing inside fn would consume rng
+                # state per retry and per thread schedule, breaking the
+                # seeded reproducibility the oracle test depends on
+                dmode = r.choice(["auto", "mor", "cow"])
 
-                def fn(p, c=c):
+                def fn(p, c=c, dmode=dmode):
                     return delete_where(
                         spark, t, [Predicate("conv_id", "eq", c)],
-                        pass_id=p, mode=r.choice(["auto", "mor", "cow"]))
+                        pass_id=p, mode=dmode)
                 return kind, fn, ("delete_conv", c), pid
             if kind == "append":
                 cid = f"conv-9{seed:03d}{opn[0]:04d}"

@@ -385,3 +385,55 @@ def test_branch_aware_maintenance_compacts_audit_branch(spark,
     assert pub.snapshot_id == head.snapshot_id
     assert sorted_rows(scan(spark, t),
                        cols=("conv_id", "turn_idx", "text")) == want
+
+
+def test_null_rooted_branch_full_lifecycle(spark, tmp_table_root):
+    """A branch rooted at the null snapshot (fresh-table streaming WAP)
+    must work END-TO-END, not just for append: ingest_batch routes its
+    first micro-batch to the append path, every maintenance pass and
+    delete_where no-op instead of raising (and must NOT leak main's files
+    onto the branch), and after commits land the branch behaves normally."""
+    from engine.maintain import (cluster, compact, compact_deletes,
+                                 rewrite_deletes)
+    from engine.merge import delete_where
+    from engine.scan import Predicate
+    from engine.streaming import ingest_batch
+
+    t = Table.create(tmp_table_root)
+    # seed MAIN so a branch-head mixup would visibly leak main's files
+    main_df = generate_transcripts(spark, num_convs=6)
+    append(t, main_df, num_files=1)
+    t.create_branch("ingest")  # rooted at the CURRENT snapshot
+    t2 = Table.create(tmp_table_root + "-fresh")
+    t2.create_branch("ingest")  # rooted at the NULL snapshot
+
+    # maintenance + DML on the empty branch: no-ops, no KeyError, and
+    # main untouched
+    for fn in (lambda: compact(spark, t2, pass_id="nb-c", branch="ingest"),
+               lambda: compact_deletes(spark, t2, pass_id="nb-cd",
+                                       branch="ingest"),
+               lambda: rewrite_deletes(spark, t2, pass_id="nb-rd",
+                                       branch="ingest"),
+               lambda: cluster(spark, t2, "zorder", pass_id="nb-cl",
+                               branch="ingest"),
+               lambda: delete_where(
+                   spark, t2, [Predicate("conv_id", "eq", "x")],
+                   pass_id="nb-dw", branch="ingest")):
+        assert fn() is None
+    assert t2.current_snapshot() is None
+
+    # first streaming micro-batch onto the null-rooted branch: append path
+    batch = generate_transcripts(spark, num_convs=3)
+    ingest_batch(spark, t2, batch, batch_id=0, branch="ingest")
+    assert t2.current_snapshot() is None  # main still empty (WAP)
+    got = scan(spark, t2, ref="ingest")
+    assert got.count() == batch.count()
+
+    # second batch MERGEs/extends on the now-live branch head
+    ingest_batch(spark, t2, batch, batch_id=1, branch="ingest")
+    assert scan(spark, t2, ref="ingest").count() == batch.count()
+
+    # publish: main gets exactly the branch content
+    t2.fast_forward("ingest")
+    assert sorted_rows(scan(spark, t2)) == sorted_rows(
+        scan(spark, t2, ref="ingest"))

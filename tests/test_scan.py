@@ -325,3 +325,49 @@ def test_changes_between_preimages(spark, tmp_table_root):
                    .drop("_change")))
     assert sorted_rows(applied, cols=("conv_id", "turn_idx", "text")) == \
         sorted_rows(scan(spark, t), cols=("conv_id", "turn_idx", "text"))
+
+
+def test_manifest_list_shadow_pruning_skips_fresh_manifests(
+        spark, tmp_table_root):
+    """rewrite_deletes planning must not OPEN data manifests whose min_seq
+    is at/above the backlog's max delete sequence (nothing in them is
+    shadowable) — the del_max_seq manifest-list summary supplies the
+    threshold without consulting a delete manifest."""
+    from engine.maintain import rewrite_manifests, rewrite_deletes
+    from engine.merge import merge_into
+
+    df = generate_transcripts(spark, num_convs=30)
+    t = Table.create(tmp_table_root)
+    append(t, df, num_files=4, range_cols=["conv_id", "turn_idx"])
+    # a sparse MoR merge -> one equality-delete file (seq = its snapshot)
+    src = (scan(spark, t).select("conv_id", "turn_idx")
+           .orderBy("conv_id", "turn_idx").limit(2)
+           .withColumn("upd_text", F.lit("sp")))
+    merge_into(spark, t, src, {"text": "upd_text"}, pass_id="sp-m",
+               mode="mor")
+    del_seq = t.current_snapshot().snapshot_id
+    # APPEND-ONLY commits after the delete: their files carry newer seqs
+    extra = (generate_transcripts(spark, num_convs=5)
+             .withColumn("conv_id",
+                         F.concat(F.lit("zz-"), F.col("conv_id"))))
+    for _ in range(2):
+        append(t, extra, num_files=2, range_cols=["conv_id", "turn_idx"])
+    # one manifest per entry so the skip is visible in open counts
+    rewrite_manifests(t, entries_per_manifest=1)
+    snap = t.current_snapshot()
+    fresh = sum(1 for mf in snap.manifests
+                if (snap.manifest_meta.get(mf) or {}).get("data", 0)
+                and snap.manifest_meta[mf]["min_seq"] >= del_seq)
+    assert fresh >= 4  # the two post-delete appends
+    want = sorted_rows(scan(spark, t))
+
+    t2 = Table(t.root)
+    t2.manifest_opens = 0
+    snap2 = rewrite_deletes(spark, t2, pass_id="sp-rw")
+    assert snap2 is not None
+    total = len(snap.manifests)
+    # the deletes read opens delete manifests only; the data read skips
+    # every fresh manifest — strictly fewer opens than two full walks
+    assert t2.manifest_opens <= 2 * total - fresh, (
+        t2.manifest_opens, total, fresh)
+    assert sorted_rows(scan(spark, t)) == want

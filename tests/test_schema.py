@@ -354,3 +354,30 @@ def test_widen_column_metadata_only_upcasts_old_files(spark,
     out = scan(spark, t)
     assert dict(out.dtypes)["score64"] == "bigint"
     assert sorted_rows(out, cols=("conv_id", "turn_idx", "score64")) == want
+
+
+def test_widen_before_first_append_keeps_core_columns(spark,
+                                                      tmp_table_root):
+    """Registry bootstrap on a table with NO data file must seed the fixed
+    transcript schema (review finding): add + widen before the first
+    append, then scan must still carry every core column at the right
+    types — not just the added one."""
+    t = Table.create(tmp_table_root)
+    t.add_column("score", "int")
+    t.widen_column("score", "bigint")
+    names = {c["names"][-1] for c in t.schema_cols()
+             if not c.get("dropped")}
+    assert {"conv_id", "turn_idx", "ts", "role", "text", "tool",
+            "score"} <= names
+
+    df = (generate_transcripts(spark, num_convs=5)
+          .withColumn("score", F.lit(1).cast("int")))
+    append(t, df, num_files=1)
+    out = scan(spark, t)
+    assert set(out.columns) >= {"conv_id", "turn_idx", "ts", "role",
+                                "text", "tool", "score"}
+    d = dict(out.dtypes)
+    assert d["score"] == "bigint" and d["turn_idx"] == "int"
+    assert d["ts"] == "timestamp"
+    assert out.count() == df.count()
+    assert out.filter("text is null").count() == 0
