@@ -434,8 +434,8 @@ max−min pair spread {spread if spread is not None else 'n/a'};
 target ≥ 0.8 per the north rule, VM data-movement ceiling ~0.67 per the
 calibration above). Both widths are sampled the SAME number of times and
 each pair shares one ambient-load window, so host drift cancels in the
-ratio instead of landing in the quotient; the protocol extends up to 2
-extra pairs while the spread exceeds 0.1. Contention on this shared VM is
+ratio instead of landing in the quotient; the protocol extends up to 3
+extra pairs while the spread exceeds 0.1 (steady-leg budget reserved). Contention on this shared VM is
 strictly additive on byte-identical deterministic work — a run can be
 slowed, never sped up — so the per-width BESTS (an auxiliary bound in the
 bench JSON) bracket the true value from below; the full sample lists live
