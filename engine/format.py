@@ -95,6 +95,16 @@ def _arrow_sql_type(t) -> str:
     raise ValueError(f"unmapped physical parquet type: {t}")
 
 
+def _schema_state_of(meta: dict) -> dict | None:
+    """Deep copy of the evolution registry for snapshot pinning; None while
+    the table has never evolved (the steady state pays nothing)."""
+    cols, adds = meta.get("schema_cols"), meta.get("schema_adds")
+    if not cols and not adds:
+        return None
+    return json.loads(json.dumps({"schema_cols": cols or [],
+                                  "schema_adds": adds or []}))
+
+
 class ConstraintViolation(RuntimeError):
     """A write produced rows violating a registered CHECK constraint. The
     staged files are discarded and nothing commits — bad data never becomes
@@ -188,6 +198,13 @@ class Snapshot:
     # design point (~800k files / ~12.5k manifests) is seconds of serial
     # planner work per scan. Absent for legacy snapshots (→ always open).
     manifest_meta: dict[str, dict] = field(default_factory=dict)
+    # schema pinning (Iceberg semantics): the (schema_cols, schema_adds)
+    # registry state at commit time, recorded only once the table has
+    # evolved. Time-travel and TAG reads resolve columns with the
+    # snapshot's own schema; BRANCH reads use the table's current schema
+    # (matching Iceberg's branch-vs-tag schema rule). None for legacy
+    # snapshots and un-evolved tables (scan falls back to current).
+    schema_state: dict | None = None
 
     def to_json(self) -> dict:
         out = {
@@ -202,13 +219,16 @@ class Snapshot:
             out["manifest_meta"] = {m: self.manifest_meta[m]
                                     for m in self.manifests
                                     if m in self.manifest_meta}
+        if self.schema_state is not None:
+            out["schema_state"] = self.schema_state
         return out
 
     @staticmethod
     def from_json(d: dict) -> "Snapshot":
         return Snapshot(d["snapshot_id"], d.get("parent_id"),
                         d["timestamp_ms"], d["operation"], d["manifests"],
-                        d.get("summary", {}), d.get("manifest_meta", {}))
+                        d.get("summary", {}), d.get("manifest_meta", {}),
+                        d.get("schema_state"))
 
 
 # columns whose per-manifest [min, max] range is tracked at the manifest-
@@ -1086,6 +1106,7 @@ class Table:
                 **(summary or {}),
             },
             manifest_meta=mmeta,
+            schema_state=_schema_state_of(meta),
         )
         meta["snapshots"].append(snap.to_json())
         if branch is not None:
@@ -1316,7 +1337,8 @@ class Table:
                 summary={"rolled_back_to": snapshot_id,
                          "rolled_back_from": cur,
                          "added_files": 0, "removed_files": 0},
-                manifest_meta=dict(target.get("manifest_meta", {})))
+                manifest_meta=dict(target.get("manifest_meta", {})),
+                schema_state=_schema_state_of(meta))
             meta["snapshots"].append(snap.to_json())
             meta["current_snapshot_id"] = sid
             meta["version"] = meta["version"] + 1

@@ -404,13 +404,23 @@ def scan(spark: SparkSession, table: Table,
          predicates: list[Predicate] | None = None,
          columns: list[str] | None = None,
          as_of_ms: int | None = None,
-         ref: str | None = None) -> DataFrame:
+         ref: str | None = None,
+         schema: str = "pinned") -> DataFrame:
     """Read a pinned snapshot. File list comes ONLY from the snapshot's
     manifests (never a live directory listing), so concurrent maintenance
     commits are invisible — snapshot isolation. ``as_of_ms`` time-travels
     to the latest snapshot committed at or before that timestamp; ``ref``
     reads a named branch head or tag (mutually exclusive with the other
-    two — the audit read of write-audit-publish)."""
+    two — the audit read of write-audit-publish).
+
+    ``schema`` (Iceberg's branch-vs-tag schema rule): time-travel reads
+    (``snapshot_id``/``as_of_ms``) and TAG reads resolve columns with the
+    SNAPSHOT's pinned schema — a column renamed or dropped later still
+    appears under its then-current name; BRANCH and head reads use the
+    table's current schema. Pass ``schema='current'`` to force today's
+    schema onto a historical read (what ``changes_between`` does so both
+    diff sides align). Legacy snapshots without a pinned state always use
+    the current schema."""
     snap: Snapshot | None
     if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
         raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
@@ -427,7 +437,15 @@ def scan(spark: SparkSession, table: Table,
     # within the manifests that remain
     entries = table.manifest_entries(snap, predicates=predicates)
     entries = prune_files(entries, predicates)
-    meta = table.load_metadata()  # ONE parse serves reader + reconciliation
+    pin = (schema == "pinned" and snap is not None
+           and snap.schema_state is not None
+           and (snapshot_id is not None or as_of_ms is not None
+                or (ref is not None
+                    and table.refs().get(ref, {}).get("type") == "tag")))
+    if pin:
+        meta = snap.schema_state  # the registry as of that snapshot
+    else:
+        meta = table.load_metadata()  # ONE parse: reader + reconciliation
     if not entries:
         # empty relation with the right schema: read zero files is an error,
         # so read one file's schema then filter everything out is wasteful;
@@ -477,7 +495,8 @@ def incremental_scan(spark: SparkSession, table: Table,
                  for e in table.manifest_entries(target)
                  if e.path not in base]
     if not new_paths:
-        return scan(spark, table, snapshot_id=target.snapshot_id).limit(0)
+        return scan(spark, table, snapshot_id=target.snapshot_id,
+                    schema="current").limit(0)
     return reconcile_added_columns(
         table, _table_reader(spark, table).parquet(*new_paths))
 
@@ -547,14 +566,15 @@ def changes_between(spark: SparkSession, table: Table,
     old_df = _side(old_data, old_dels)
     new_df = _side(new_data, new_dels)
     if old_df is None and new_df is None:
-        empty = scan(spark, table, snapshot_id=to_snap.snapshot_id).limit(0)
+        empty = scan(spark, table, snapshot_id=to_snap.snapshot_id,
+                     schema="current").limit(0)
         return empty.withColumn("_change", F.lit("insert")).limit(0)
     if old_df is None:
         return new_df.withColumn("_change", F.lit("insert"))
     if new_df is None:
         gone = (old_df
-                .join(scan(spark, table,
-                           snapshot_id=to_snap.snapshot_id).select(*keys),
+                .join(scan(spark, table, snapshot_id=to_snap.snapshot_id,
+                           schema="current").select(*keys),
                       keys, "left_anti"))
         if not include_preimages:
             gone = gone.select(*keys)

@@ -381,3 +381,60 @@ def test_widen_before_first_append_keeps_core_columns(spark,
     assert d["ts"] == "timestamp"
     assert out.count() == df.count()
     assert out.filter("text is null").count() == 0
+
+
+def test_time_travel_and_tag_reads_use_pinned_schema(spark,
+                                                     tmp_table_root):
+    """Iceberg's branch-vs-tag schema rule: snapshots pin the evolution
+    registry at commit time; time-travel and TAG reads resolve columns
+    with the snapshot's own schema (a later rename/drop does not rewrite
+    history), while BRANCH and head reads follow the table's current
+    schema. changes_between stays on the current schema so its two sides
+    align across a rename."""
+    from engine.scan import changes_between
+
+    t, df = _setup(spark, tmp_table_root, convs=10, files=1)
+    t.add_column("quality", "double")
+    b2 = (generate_transcripts(spark, num_convs=2)
+          .withColumn("conv_id", F.concat(F.lit("q-"), F.col("conv_id")))
+          .withColumn("quality", F.lit(0.5)))
+    append(t, b2, num_files=1)
+    s_preren = t.current_snapshot().snapshot_id
+    t.create_tag("audited", s_preren)
+    t.create_branch("work")
+
+    t.rename_column("quality", "q_score")
+    extra = (generate_transcripts(spark, num_convs=2)
+             .withColumn("conv_id", F.concat(F.lit("r-"), F.col("conv_id")))
+             .withColumn("q_score", F.lit(0.9)))
+    append(t, extra, num_files=1)
+    s_prerdrop = t.current_snapshot().snapshot_id
+
+    # time travel to the pre-rename snapshot: the OLD name, with data
+    tt = scan(spark, t, snapshot_id=s_preren)
+    assert "quality" in tt.columns and "q_score" not in tt.columns
+    assert tt.filter("quality = 0.5").count() == b2.count()
+    # the tag pins the same schema; the branch follows the current one
+    tg = scan(spark, t, ref="audited")
+    assert "quality" in tg.columns and "q_score" not in tg.columns
+    br = scan(spark, t, ref="work")
+    assert "q_score" in br.columns and "quality" not in br.columns
+    # explicit opt-out: today's schema onto the historical read
+    cur = scan(spark, t, snapshot_id=s_preren, schema="current")
+    assert "q_score" in cur.columns
+    assert cur.filter("q_score = 0.5").count() == b2.count()
+
+    # drop: the pre-drop snapshot still shows the column under its
+    # then-current name; head hides it
+    t.drop_column("q_score")
+    head = scan(spark, t)
+    assert "q_score" not in head.columns and "quality" not in head.columns
+    back = scan(spark, t, snapshot_id=s_prerdrop)
+    assert "q_score" in back.columns
+    assert back.filter("q_score = 0.9").count() == extra.count()
+
+    # CDC across the rename era: both sides on the current schema, only
+    # the appended rows surface
+    d = changes_between(spark, t, s_preren, s_prerdrop)
+    assert d.filter("_change = 'insert'").count() == extra.count()
+    assert d.filter("_change != 'insert'").count() == 0
