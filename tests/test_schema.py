@@ -438,3 +438,69 @@ def test_time_travel_and_tag_reads_use_pinned_schema(spark,
     d = changes_between(spark, t, s_preren, s_prerdrop)
     assert d.filter("_change = 'insert'").count() == extra.count()
     assert d.filter("_change != 'insert'").count() == 0
+
+
+def test_pinned_schema_random_ddl_history(spark, tmp_table_root):
+    """Randomized DDL/commit interleaving: after every commit on an evolved
+    table, the snapshot must replay its then-visible column set (and the
+    then-current type of a later-widened column) under time travel forever,
+    no matter what renames/drops/widens happen afterwards."""
+    import random
+
+    rng = random.Random(66)
+    t, df = _setup(spark, tmp_table_root, convs=6, files=1)
+    base_cols = set(df.columns)
+    live: dict[str, str] = {}      # current visible ext name -> type
+    next_id = [0]
+    expected: dict[int, dict[str, str]] = {}  # sid -> {name: type}
+
+    def commit():
+        append(t, df, num_files=1)
+        expected[t.current_snapshot().snapshot_id] = dict(live)
+
+    t.add_column("ext0", "int")
+    live["ext0"] = "int"
+    next_id[0] = 1
+    commit()
+    for _ in range(14):
+        ops = ["add", "commit"]
+        if live:
+            ops += ["rename", "drop"]
+        if any(ty == "int" for ty in live.values()):
+            ops.append("widen")
+        op = rng.choice(ops)
+        if op == "add":
+            name = f"ext{next_id[0]}"
+            next_id[0] += 1
+            ty = rng.choice(["int", "double", "string"])
+            t.add_column(name, ty)
+            live[name] = ty
+        elif op == "rename":
+            old = rng.choice(sorted(live))
+            new = f"{old}_r{next_id[0]}"
+            next_id[0] += 1
+            t.rename_column(old, new)
+            live[new] = live.pop(old)
+        elif op == "drop":
+            name = rng.choice(sorted(live))
+            t.drop_column(name)
+            del live[name]
+        elif op == "widen":
+            name = rng.choice(sorted(n for n, ty in live.items()
+                                     if ty == "int"))
+            t.widen_column(name, "bigint")
+            live[name] = "bigint"
+        else:
+            commit()
+    commit()
+
+    assert len(expected) >= 3
+    for sid, cols in expected.items():
+        out = scan(spark, t, snapshot_id=sid)
+        assert set(out.columns) == base_cols | set(cols), (sid, cols)
+        d = dict(out.dtypes)
+        for name, ty in cols.items():
+            assert d[name] == ty, (sid, name, d[name], ty)
+    # and the head follows the CURRENT registry
+    head = scan(spark, t)
+    assert set(head.columns) == base_cols | set(live)
