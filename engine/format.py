@@ -522,18 +522,26 @@ class Table:
             except FileNotFoundError:
                 pass
 
-    def _backfill_schema_types(self, cols: list[dict]) -> None:
+    def _backfill_schema_types(self, cols: list[dict],
+                               adds: list[dict] | None = None) -> None:
         """Resolve a Spark SQL type string for every live column id that
         lacks one (base columns carry no ``type`` until the first widen
-        needs the full physical schema): walk representative data footers
-        until each id's physical name (any name in its history) is seen.
-        Idempotent; mutates ``cols`` in place (caller persists)."""
+        needs the full physical schema): the fixed transcript types and
+        any matching ``schema_adds`` record first (both footer-free), then
+        representative data footers until each id's physical name (any
+        name in its history) is seen. Idempotent; mutates ``cols`` in
+        place (caller persists)."""
         need = [c for c in cols if "type" not in c and not c.get("dropped")]
         # the fixed transcript columns need no footer (they cannot be
         # renamed, so names[0] is authoritative) — and a pre-first-append
-        # table HAS no footer to consult
+        # table HAS no footer to consult. A registry bootstrapped from a
+        # post-add footer records added columns as typeless base names;
+        # their types are already in the schema_adds records (review
+        # finding) — resolve those without a footer too.
+        add_types = {a["name"]: a["type"] for a in (adds or [])}
         for c in list(need):
-            t = _CORE_TYPES.get(c["names"][0])
+            t = _CORE_TYPES.get(c["names"][0]) or add_types.get(
+                c["names"][0])
             if t is not None:
                 c["type"] = t
                 need.remove(c)
@@ -583,7 +591,7 @@ class Table:
                 raise KeyError(f"column {name!r} not found (or dropped)")
             # the explicit read schema needs EVERY live id's type, not
             # just the widened one — backfill once, persisted below
-            self._backfill_schema_types(cols)
+            self._backfill_schema_types(cols, meta.get("schema_adds"))
             cur_t = entry["type"]
             if new_type == cur_t:
                 return  # idempotent no-op

@@ -17,8 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointLog, TaskRecord
-from .format import (DataFile, Snapshot, Table, collect_parquet_stats,
-                     ts_bounds_micros)
+from .format import (DataFile, Snapshot, Table, _schema_state_of,
+                     collect_parquet_stats, ts_bounds_micros)
 from .layout import cluster_dataframe
 from .write import stage_dataframe
 
@@ -564,6 +564,9 @@ def rewrite_manifests(table: Table, entries_per_manifest: int = 64) -> Snapshot:
             manifests=manifests,
             summary={"manifests": len(manifests), "files": len(entries)},
             manifest_meta=mmeta,
+            # keep the schema pin: dropping it would let a later rename
+            # rewrite what a tag/time-travel read of this head returns
+            schema_state=_schema_state_of(meta),
         )
         meta["snapshots"].append(snap.to_json())
         meta["current_snapshot_id"] = snap.snapshot_id

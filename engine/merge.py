@@ -298,8 +298,12 @@ def _stage_mor(spark: SparkSession, table: Table, snap, source: DataFrame,
     The delete keys are read back from the just-staged insert files (tiny)
     rather than re-running the merge join."""
     from .scan import scan as snapshot_scan
+    # schema='current': the pinned (time-travel) schema would resolve a
+    # column renamed AFTER this snapshot under its OLD name, so an
+    # update_map keyed by the current name would match nothing and the
+    # merge would silently commit unchanged values (review-confirmed)
     live = snapshot_scan(spark, table, snapshot_id=snap.snapshot_id,
-                         predicates=preds)
+                         predicates=preds, schema="current")
     src = F.broadcast(source) if broadcast_source else source
     joined = live.join(src, on=list(MERGE_KEYS), how="inner")
     out_cols = []
@@ -460,6 +464,7 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     snap = (table.ref_snapshot(branch, allow_empty=True) if branch
             else table.current_snapshot())
     if branch is not None and snap is None:
+        source.unpersist()
         return None  # null-rooted branch: nothing to match against yet
     entries = table.manifest_entries(snap)
     affected = prune_files(entries, preds)

@@ -424,8 +424,18 @@ def scan(spark: SparkSession, table: Table,
     snap: Snapshot | None
     if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
         raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
+    ref_is_tag = False
     if ref is not None:
-        snap = table.ref_snapshot(ref)
+        # ONE refs read resolves the snapshot AND the tag test (the pin
+        # rule below) — ref_snapshot would re-read the same metadata
+        r = table.refs().get(ref)
+        if r is None:
+            raise KeyError(f"ref {ref!r} not found")
+        if r["snapshot_id"] is None:
+            raise KeyError(f"ref {ref!r} has no commits yet (branch "
+                           "rooted at the null snapshot)")
+        snap = table.snapshot(r["snapshot_id"])
+        ref_is_tag = r.get("type") == "tag"
     elif as_of_ms is not None:
         snap = table.snapshot_as_of(as_of_ms)
     elif snapshot_id is None:
@@ -440,8 +450,7 @@ def scan(spark: SparkSession, table: Table,
     pin = (schema == "pinned" and snap is not None
            and snap.schema_state is not None
            and (snapshot_id is not None or as_of_ms is not None
-                or (ref is not None
-                    and table.refs().get(ref, {}).get("type") == "tag")))
+                or ref_is_tag))
     if pin:
         meta = snap.schema_state  # the registry as of that snapshot
     else:

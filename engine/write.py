@@ -116,8 +116,10 @@ def range_bounds_from_entries(entries: list[DataFile], num_files: int,
     (turn_idx is dense per conversation, per the table schema), and a run
     of same-conv files is cut at the continuation point (a pure file's own
     turn min; a mixed file's predecessor turn max + 1). No data is read;
-    scalar boundaries are emitted everywhere the conv key alone suffices,
-    so the default output is byte-identical to the turn-free form."""
+    scalar boundaries are emitted everywhere the conv key alone suffices —
+    for layouts with no oversized conversation and no sub-half-target
+    piece, the composite output equals the turn-free form (the composite
+    mode additionally suppresses sliver pieces below half a target)."""
     if num_files <= 1:
         return []
     stats = []
@@ -139,8 +141,11 @@ def range_bounds_from_entries(entries: list[DataFile], num_files: int,
 
     bounds: list = []
     cum = 0
-    # sliver guard (composite mode only, to keep the turn-free output
-    # byte-identical to before): when mixed files force the walk to fall
+    # sliver guard (composite mode only; the turn-free mode keeps the
+    # plain cut-at-file-start semantics — note the nearest-target slack
+    # below applies to BOTH modes, so the two forms emit identical cut
+    # sets only when no piece falls below half a target): when mixed
+    # files force the walk to fall
     # behind the row targets — cuts can only land at file starts or inside
     # PURE single-conv files — the stale targets must be SKIPPED, not
     # chased: chasing them emitted degenerate cuts one turn apart

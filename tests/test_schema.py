@@ -504,3 +504,45 @@ def test_pinned_schema_random_ddl_history(spark, tmp_table_root):
     # and the head follows the CURRENT registry
     head = scan(spark, t)
     assert set(head.columns) == base_cols | set(live)
+
+
+def test_mor_merge_applies_update_after_rename(spark, tmp_table_root):
+    """Review regression: _stage_mor read the live view via a pinned-schema
+    time-travel scan, so after a rename the update_map (keyed by the
+    CURRENT name) matched nothing and the merge silently committed
+    unchanged values. The MoR path must use the current schema."""
+    t, df = _setup(spark, tmp_table_root, convs=10, files=1)
+    t.add_column("quality", "double")
+    b2 = (generate_transcripts(spark, num_convs=2)
+          .withColumn("conv_id", F.concat(F.lit("q-"), F.col("conv_id")))
+          .withColumn("quality", F.lit(0.5)))
+    append(t, b2, num_files=1)
+    t.rename_column("quality", "q_score")
+
+    src = (scan(spark, t).filter("q_score = 0.5")
+           .select("conv_id", "turn_idx").orderBy("conv_id", "turn_idx")
+           .limit(3).withColumn("upd_q", F.lit(0.9)))
+    merge_into(spark, t, src, {"q_score": "upd_q"}, pass_id="ren-mor",
+               mode="mor")
+    out = scan(spark, t)
+    assert out.filter("q_score = 0.9").count() == 3
+    assert out.filter("q_score = 0.5").count() == b2.count() - 3
+
+
+def test_rewrite_manifests_preserves_schema_pin(spark, tmp_table_root):
+    """Review regression: rewrite_manifests built its snapshot without
+    schema_state, silently dropping the pin — a tag cut at that head then
+    followed later renames instead of the pinned schema."""
+    from engine.maintain import rewrite_manifests
+
+    t, df = _setup(spark, tmp_table_root, convs=10, files=3)
+    t.add_column("quality", "double")
+    append(t, generate_transcripts(spark, num_convs=2)
+           .withColumn("conv_id", F.concat(F.lit("q-"), F.col("conv_id")))
+           .withColumn("quality", F.lit(0.5)), num_files=1)
+    rewrite_manifests(t, entries_per_manifest=2)
+    assert t.current_snapshot().schema_state is not None
+    t.create_tag("audited", t.current_snapshot().snapshot_id)
+    t.rename_column("quality", "q_score")
+    tg = scan(spark, t, ref="audited")
+    assert "quality" in tg.columns and "q_score" not in tg.columns
