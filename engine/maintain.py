@@ -526,7 +526,8 @@ def cluster(spark: SparkSession, table: Table, strategy: str = "zorder",
 
 
 # ------------------------------------------------------------ manifest rewrite
-def rewrite_manifests(table: Table, entries_per_manifest: int = 64) -> Snapshot:
+def rewrite_manifests(table: Table,
+                      entries_per_manifest: int = 64) -> Snapshot | None:
     """Regroup manifest entries by min conv_id into fixed-size manifests.
     After many merge/append commits, manifests fragment (one tiny manifest per
     commit) and planning cost creeps from O(files) toward O(commits·files);
@@ -553,6 +554,8 @@ def rewrite_manifests(table: Table, entries_per_manifest: int = 64) -> Snapshot:
                  if m in table._pending_manifest_meta}
         table._pending_manifest_meta.clear()
         parent = table.current_snapshot()
+        if parent is None:
+            return None  # empty table: nothing to regroup
         snap = Snapshot(
             # GLOBAL max+1 (like Table._commit_locked): parent+1 could
             # collide with a branch head committed after parent

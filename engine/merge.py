@@ -436,207 +436,215 @@ def merge_into(spark: SparkSession, table: Table, source: DataFrame,
     # every consumer re-runs the whole DAG — the single biggest serial cost
     # in the maintenance pass
     source = source.persist()
-    t0 = time.time()
-    if predicates is not None and source_rows is not None:
-        # caller already knows the key domain (e.g. impute_merge: the
-        # worklist spans most conversations, so pruning cannot drop a file)
-        # — skip the predicate-derivation job entirely
-        preds, n_src = predicates, source_rows
-    else:
-        preds, n_src, piggy_bytes = _source_predicates(
-            source, byte_cols=[f.name for f in source.schema.fields
-                               if f.dataType.typeName() == "string"
-                               and f.name not in MERGE_KEYS])
-        if source_bytes is None:
-            source_bytes = piggy_bytes
-    t0 = _tmark("merge.source_pipeline", t0)
-    if broadcast_source is None:
-        broadcast_source = n_src <= BROADCAST_MAX_ROWS
-        if broadcast_source and n_src > 0:
-            # row count alone under-gates text-heavy sources: estimate the
-            # string payload too (caller may piggyback it; else one tiny agg
-            # over the persisted source)
+    # every path out of the body below — success, conflict, or
+    # any Spark/planner exception — must release the cached
+    # source (review finding: scattered per-path unpersists
+    # leaked it on every error path); unpersist is idempotent,
+    # so the pre-existing success-path calls stay harmless
+    try:
+        t0 = time.time()
+        if predicates is not None and source_rows is not None:
+            # caller already knows the key domain (e.g. impute_merge: the
+            # worklist spans most conversations, so pruning cannot drop a file)
+            # — skip the predicate-derivation job entirely
+            preds, n_src = predicates, source_rows
+        else:
+            preds, n_src, piggy_bytes = _source_predicates(
+                source, byte_cols=[f.name for f in source.schema.fields
+                                   if f.dataType.typeName() == "string"
+                                   and f.name not in MERGE_KEYS])
             if source_bytes is None:
-                source_bytes = _string_bytes(source)
-            broadcast_source = source_bytes <= BROADCAST_MAX_BYTES
+                source_bytes = piggy_bytes
+        t0 = _tmark("merge.source_pipeline", t0)
+        if broadcast_source is None:
+            broadcast_source = n_src <= BROADCAST_MAX_ROWS
+            if broadcast_source and n_src > 0:
+                # row count alone under-gates text-heavy sources: estimate the
+                # string payload too (caller may piggyback it; else one tiny agg
+                # over the persisted source)
+                if source_bytes is None:
+                    source_bytes = _string_bytes(source)
+                broadcast_source = source_bytes <= BROADCAST_MAX_BYTES
 
-    t_meta = time.time()
-    snap = (table.ref_snapshot(branch, allow_empty=True) if branch
-            else table.current_snapshot())
-    if branch is not None and snap is None:
-        source.unpersist()
-        return None  # null-rooted branch: nothing to match against yet
-    entries = table.manifest_entries(snap)
-    affected = prune_files(entries, preds)
-    affected_paths = [e.path for e in affected]
-    delete_entries = table.manifest_entries(snap, content="deletes")
-    # deletes relevant to the CoW rewrite are selected by OVERLAP WITH THE
-    # AFFECTED FILES, not by the source predicates: the rewrite copies
-    # WHOLE files — a delete shadowing a row outside the source's key
-    # domain but inside an affected file must still be applied, or the
-    # rewritten copy (fresh sequence number) resurrects it
-    from .scan import shadowable
-    affected_dels = [d for d in delete_entries
-                     if any(shadowable(e, d) for e in affected)]
-    affected_rows = sum(e.record_count for e in affected)
-    use_mor = (mode == "mor"
-               or (mode == "auto" and curve is None and affected
-                   and 0 < n_src <= _MOR_MAX_FRACTION * affected_rows))
-    _tmark("merge.plan_metadata", t_meta)
+        t_meta = time.time()
+        snap = (table.ref_snapshot(branch, allow_empty=True) if branch
+                else table.current_snapshot())
+        if branch is not None and snap is None:
+            source.unpersist()
+            return None  # null-rooted branch: nothing to match against yet
+        entries = table.manifest_entries(snap)
+        affected = prune_files(entries, preds)
+        affected_paths = [e.path for e in affected]
+        delete_entries = table.manifest_entries(snap, content="deletes")
+        # deletes relevant to the CoW rewrite are selected by OVERLAP WITH THE
+        # AFFECTED FILES, not by the source predicates: the rewrite copies
+        # WHOLE files — a delete shadowing a row outside the source's key
+        # domain but inside an affected file must still be applied, or the
+        # rewritten copy (fresh sequence number) resurrects it
+        from .scan import shadowable
+        affected_dels = [d for d in delete_entries
+                         if any(shadowable(e, d) for e in affected)]
+        affected_rows = sum(e.record_count for e in affected)
+        use_mor = (mode == "mor"
+                   or (mode == "auto" and curve is None and affected
+                       and 0 < n_src <= _MOR_MAX_FRACTION * affected_rows))
+        _tmark("merge.plan_metadata", t_meta)
 
-    removed_paths: set[str] = set() if use_mor else set(affected_paths)
-    rec = ckpt.get("rewrite")
-    if rec is not None:
-        from .write import restat_staged
-        staged = [restat_staged(table, p) for p in rec["output_files"]]
-        # a resumed pass replays the recorded strategy, not the re-derived
-        # one (the staged files already embody it); legacy records carry no
-        # 'removed' list — they were all CoW, removing their input files
-        ext = rec.get("extra") or {}
-        use_mor = bool(ext.get("mor"))
-        if use_mor:
-            removed_paths = set(ext.get("removed", []))
+        removed_paths: set[str] = set() if use_mor else set(affected_paths)
+        rec = ckpt.get("rewrite")
+        if rec is not None:
+            from .write import restat_staged
+            staged = [restat_staged(table, p) for p in rec["output_files"]]
+            # a resumed pass replays the recorded strategy, not the re-derived
+            # one (the staged files already embody it); legacy records carry no
+            # 'removed' list — they were all CoW, removing their input files
+            ext = rec.get("extra") or {}
+            use_mor = bool(ext.get("mor"))
+            if use_mor:
+                removed_paths = set(ext.get("removed", []))
+            else:
+                removed_paths = set(ext.get("removed", rec["input_files"]))
+            # the delete set KNOWN AT STAGING time — a delete committed after
+            # the crash was not applied to the staged files, and the commit
+            # validation below must catch it (legacy records: no validation)
+            expected_dels = (set(ext["deletes"]) if "deletes" in ext else None)
+            # serializable MoR resume: the RECORDED planning file set, not a
+            # re-derivation from the live snapshot
+            mor_planned = (set(ext["affected"]) if "affected" in ext else None)
+        elif not affected:
+            staged = []
+            expected_dels = None
+            mor_planned = None
+        elif use_mor:
+            staged = _stage_mor(spark, table, snap, source, update_map,
+                                broadcast_source, preds, source_bytes,
+                                target_bytes, n_src)
+            t0 = _tmark("merge.mor_stage", t0)
+            serial = isolation == "serializable"
+            ckpt.record(TaskRecord(
+                pass_id, "merge", "rewrite",
+                input_files=affected_paths,
+                output_files=[e.path for e in staged],
+                rows=sum(e.record_count for e in staged),
+                bytes=sum(e.file_size_bytes for e in staged),
+                skew_factor=1.0, committed=False,
+                extra={"mor": True, "removed": [],
+                       **({"deletes": sorted(d.path for d in delete_entries),
+                           "affected": sorted(affected_paths),
+                           "serializable": True} if serial else {})}))
+            # snapshot isolation: MoR removes nothing → nothing to validate.
+            # serializable: validate against the planning snapshot's delete set
+            # so a concurrent overlapping merge conflicts instead of silently
+            # losing last-sequence-wins.
+            expected_dels = ({d.path for d in delete_entries} if serial
+                             else None)
+            mor_planned = set(affected_paths) if serial else None
         else:
-            removed_paths = set(ext.get("removed", rec["input_files"]))
-        # the delete set KNOWN AT STAGING time — a delete committed after
-        # the crash was not applied to the staged files, and the commit
-        # validation below must catch it (legacy records: no validation)
-        expected_dels = (set(ext["deletes"]) if "deletes" in ext else None)
-        # serializable MoR resume: the RECORDED planning file set, not a
-        # re-derivation from the live snapshot
-        mor_planned = (set(ext["affected"]) if "affected" in ext else None)
-    elif not affected:
-        staged = []
-        expected_dels = None
-        mor_planned = None
-    elif use_mor:
-        staged = _stage_mor(spark, table, snap, source, update_map,
-                            broadcast_source, preds, source_bytes,
-                            target_bytes, n_src)
-        t0 = _tmark("merge.mor_stage", t0)
-        serial = isolation == "serializable"
-        ckpt.record(TaskRecord(
-            pass_id, "merge", "rewrite",
-            input_files=affected_paths,
-            output_files=[e.path for e in staged],
-            rows=sum(e.record_count for e in staged),
-            bytes=sum(e.file_size_bytes for e in staged),
-            skew_factor=1.0, committed=False,
-            extra={"mor": True, "removed": [],
-                   **({"deletes": sorted(d.path for d in delete_entries),
-                       "affected": sorted(affected_paths),
-                       "serializable": True} if serial else {})}))
-        # snapshot isolation: MoR removes nothing → nothing to validate.
-        # serializable: validate against the planning snapshot's delete set
-        # so a concurrent overlapping merge conflicts instead of silently
-        # losing last-sequence-wins.
-        expected_dels = ({d.path for d in delete_entries} if serial
-                         else None)
-        mor_planned = set(affected_paths) if serial else None
-    else:
-        # merge-on-read backlog: a raw file read would resurrect deleted
-        # rows — the delete-applied read (seq-split fast path) prevents it.
-        # The rewritten files take a NEW sequence number, so the folded
-        # deletes stop applying to them; when this rewrite covers the
-        # whole table the delete files themselves are dropped below.
-        from .scan import read_with_deletes
-        tgt = read_with_deletes(spark, table, affected, affected_dels)
-        if set(affected_paths) == {e.path for e in entries}:
-            removed_paths |= {e.path for e in delete_entries}
-        out = build_rewrite(tgt, source, update_map, broadcast_source)
-        # Output file count derives from DATA SIZE (not core count, not scan
-        # partitioning — both vary with parallelism and would make the
-        # rewrite non-deterministic across cluster sizes). Range bounds come
-        # from the affected files' manifest stats, so there is NO sampling
-        # job — repartitionByRange would compute the merge join twice.
-        if num_files is None:
-            in_bytes = sum(e.file_size_bytes for e in affected)
-            num_files = max(1, round(in_bytes / target_bytes))
-            if in_bytes > (1 << 20):
-                num_files = max(num_files, 16)
-        if curve is not None:
-            # fused merge+cluster: the rewrite IS the clustering pass. The
-            # merge never updates conv_id/ts, so the curve-key distribution
-            # (hence the bounds) is identical pre- and post-merge — the
-            # caller computes bounds from the CHEAP pre-merge two-column
-            # scan, and the whole maintenance cadence pays ONE full rewrite
-            # instead of two (the second write was the worst-scaling stage
-            # of the pass).
-            from .layout import cluster_dataframe
-            out = cluster_dataframe(out, strategy=curve,
-                                    num_files=num_files,
-                                    ts_bounds=ts_bounds,
-                                    bounds=curve_bounds_list)
-            staged = stage_dataframe(table, out)
-        else:
-            bounds = range_bounds_from_entries(affected, num_files,
-                                               "conv_id",
-                                               turn_col="turn_idx")
-            staged = stage_dataframe(table, out, num_files=num_files,
-                                     range_cols=list(MERGE_KEYS),
-                                     sort_cols=list(MERGE_KEYS),
-                                     bounds=bounds)
-        t0 = _tmark("merge.rewrite_stage", t0)
-        rows = sum(e.record_count for e in staged)
-        mean_rows = rows / max(1, len(staged))
-        skew = (max((e.record_count for e in staged), default=0)
-                / max(1.0, mean_rows))
-        ckpt.record(TaskRecord(
-            pass_id, "merge", "rewrite",
-            input_files=affected_paths,
-            output_files=[e.path for e in staged],
-            rows=rows, bytes=sum(e.file_size_bytes for e in staged),
-            skew_factor=round(skew, 3), committed=False,
-            extra={"removed": sorted(removed_paths),
-                   "deletes": sorted(d.path for d in delete_entries)}))
-        # a delete file committed AFTER this plan was read would shadow
-        # rows the staged rewrite copied under a fresh sequence number —
-        # the commit validates against the known set (Iceberg's
-        # validateNoNewDeleteFiles)
-        expected_dels = {d.path for d in delete_entries}
-        mor_planned = None  # CoW removes its inputs: liveness check covers
+            # merge-on-read backlog: a raw file read would resurrect deleted
+            # rows — the delete-applied read (seq-split fast path) prevents it.
+            # The rewritten files take a NEW sequence number, so the folded
+            # deletes stop applying to them; when this rewrite covers the
+            # whole table the delete files themselves are dropped below.
+            from .scan import read_with_deletes
+            tgt = read_with_deletes(spark, table, affected, affected_dels)
+            if set(affected_paths) == {e.path for e in entries}:
+                removed_paths |= {e.path for e in delete_entries}
+            out = build_rewrite(tgt, source, update_map, broadcast_source)
+            # Output file count derives from DATA SIZE (not core count, not scan
+            # partitioning — both vary with parallelism and would make the
+            # rewrite non-deterministic across cluster sizes). Range bounds come
+            # from the affected files' manifest stats, so there is NO sampling
+            # job — repartitionByRange would compute the merge join twice.
+            if num_files is None:
+                in_bytes = sum(e.file_size_bytes for e in affected)
+                num_files = max(1, round(in_bytes / target_bytes))
+                if in_bytes > (1 << 20):
+                    num_files = max(num_files, 16)
+            if curve is not None:
+                # fused merge+cluster: the rewrite IS the clustering pass. The
+                # merge never updates conv_id/ts, so the curve-key distribution
+                # (hence the bounds) is identical pre- and post-merge — the
+                # caller computes bounds from the CHEAP pre-merge two-column
+                # scan, and the whole maintenance cadence pays ONE full rewrite
+                # instead of two (the second write was the worst-scaling stage
+                # of the pass).
+                from .layout import cluster_dataframe
+                out = cluster_dataframe(out, strategy=curve,
+                                        num_files=num_files,
+                                        ts_bounds=ts_bounds,
+                                        bounds=curve_bounds_list)
+                staged = stage_dataframe(table, out)
+            else:
+                bounds = range_bounds_from_entries(affected, num_files,
+                                                   "conv_id",
+                                                   turn_col="turn_idx")
+                staged = stage_dataframe(table, out, num_files=num_files,
+                                         range_cols=list(MERGE_KEYS),
+                                         sort_cols=list(MERGE_KEYS),
+                                         bounds=bounds)
+            t0 = _tmark("merge.rewrite_stage", t0)
+            rows = sum(e.record_count for e in staged)
+            mean_rows = rows / max(1, len(staged))
+            skew = (max((e.record_count for e in staged), default=0)
+                    / max(1.0, mean_rows))
+            ckpt.record(TaskRecord(
+                pass_id, "merge", "rewrite",
+                input_files=affected_paths,
+                output_files=[e.path for e in staged],
+                rows=rows, bytes=sum(e.file_size_bytes for e in staged),
+                skew_factor=round(skew, 3), committed=False,
+                extra={"removed": sorted(removed_paths),
+                       "deletes": sorted(d.path for d in delete_entries)}))
+            # a delete file committed AFTER this plan was read would shadow
+            # rows the staged rewrite copied under a fresh sequence number —
+            # the commit validates against the known set (Iceberg's
+            # validateNoNewDeleteFiles)
+            expected_dels = {d.path for d in delete_entries}
+            mor_planned = None  # CoW removes its inputs: liveness check covers
 
-    from .format import CommitConflictError, ConstraintViolation
-    from .write import enforce_constraints
-    try:
-        # CoW staged output carries unchanged legacy rows — gate only the
-        # rows this merge touched (source keys); MoR insert files ARE
-        # exactly the touched rows, no key restriction needed
-        enforce_constraints(
-            spark, table, staged,
-            keys_df=None if use_mor else source,
-            on_violation=lambda n, x: ckpt.abandon(
-                {"constraint": n, "expr": x}))
-    except ConstraintViolation:
+        from .format import CommitConflictError, ConstraintViolation
+        from .write import enforce_constraints
+        try:
+            # CoW staged output carries unchanged legacy rows — gate only the
+            # rows this merge touched (source keys); MoR insert files ARE
+            # exactly the touched rows, no key restriction needed
+            enforce_constraints(
+                spark, table, staged,
+                keys_df=None if use_mor else source,
+                on_violation=lambda n, x: ckpt.abandon(
+                    {"constraint": n, "expr": x}))
+        except ConstraintViolation:
+            source.unpersist()
+            raise
+        mor_key_ranges = ([e for e in staged if e.content == "deletes"]
+                          if use_mor and expected_dels is not None else None)
+        try:
+            new_snap = table.commit("merge", added=staged,
+                                    removed_paths=removed_paths,
+                                    summary={"pass_id": pass_id,
+                                             **({"mor": True} if use_mor
+                                                else {})},
+                                    expected_delete_paths=expected_dels,
+                                    conflict_key_ranges=mor_key_ranges,
+                                    branch=branch,
+                                    conflict_if_removed=(mor_planned
+                                                         if use_mor else None))
+        except CommitConflictError:
+            # a concurrent pass replaced our input files mid-rewrite: committing
+            # would resurrect their rows through our staged copies. Abandon the
+            # checkpoint (staged files become sweepable orphans) and surface the
+            # conflict — the caller must re-derive its update source from the
+            # fresh snapshot (a stale source could mis-update rewritten rows),
+            # so no blind auto-retry here.
+            ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
+            source.unpersist()
+            raise
+        _tmark("merge.commit", t0)
+        ckpt.finalize({"snapshot_id": new_snap.snapshot_id})
         source.unpersist()
-        raise
-    mor_key_ranges = ([e for e in staged if e.content == "deletes"]
-                      if use_mor and expected_dels is not None else None)
-    try:
-        new_snap = table.commit("merge", added=staged,
-                                removed_paths=removed_paths,
-                                summary={"pass_id": pass_id,
-                                         **({"mor": True} if use_mor
-                                            else {})},
-                                expected_delete_paths=expected_dels,
-                                conflict_key_ranges=mor_key_ranges,
-                                branch=branch,
-                                conflict_if_removed=(mor_planned
-                                                     if use_mor else None))
-    except CommitConflictError:
-        # a concurrent pass replaced our input files mid-rewrite: committing
-        # would resurrect their rows through our staged copies. Abandon the
-        # checkpoint (staged files become sweepable orphans) and surface the
-        # conflict — the caller must re-derive its update source from the
-        # fresh snapshot (a stale source could mis-update rewritten rows),
-        # so no blind auto-retry here.
-        ckpt.abandon({"conflict": "inputs replaced by concurrent commit"})
+        return new_snap
+    finally:
         source.unpersist()
-        raise
-    _tmark("merge.commit", t0)
-    ckpt.finalize({"snapshot_id": new_snap.snapshot_id})
-    source.unpersist()
-    return new_snap
 
 
 def delete_where(spark: SparkSession, table: Table,

@@ -425,16 +425,24 @@ def scan(spark: SparkSession, table: Table,
     if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
         raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
     ref_is_tag = False
+    live_meta = None
     if ref is not None:
-        # ONE refs read resolves the snapshot AND the tag test (the pin
-        # rule below) — ref_snapshot would re-read the same metadata
-        r = table.refs().get(ref)
+        # ONE metadata parse resolves the ref record, the snapshot AND
+        # (below) the schema registry — the refs()/snapshot()/
+        # load_metadata() helpers would each re-parse it
+        live_meta = table.load_metadata()
+        r = live_meta.get("refs", {}).get(ref)
         if r is None:
             raise KeyError(f"ref {ref!r} not found")
         if r["snapshot_id"] is None:
             raise KeyError(f"ref {ref!r} has no commits yet (branch "
                            "rooted at the null snapshot)")
-        snap = table.snapshot(r["snapshot_id"])
+        sj = next((x for x in live_meta["snapshots"]
+                   if x["snapshot_id"] == r["snapshot_id"]), None)
+        if sj is None:
+            raise KeyError(f"snapshot {r['snapshot_id']} not found "
+                           "(expired?)")
+        snap = Snapshot.from_json(sj)
         ref_is_tag = r.get("type") == "tag"
     elif as_of_ms is not None:
         snap = table.snapshot_as_of(as_of_ms)
@@ -453,6 +461,8 @@ def scan(spark: SparkSession, table: Table,
                 or ref_is_tag))
     if pin:
         meta = snap.schema_state  # the registry as of that snapshot
+    elif live_meta is not None:
+        meta = live_meta
     else:
         meta = table.load_metadata()  # ONE parse: reader + reconciliation
     if not entries:
