@@ -143,7 +143,8 @@ def key_families():
 
 
 def _scored_pairs(ctx: DataFrame,
-                  probe_keys: DataFrame | None = None) -> DataFrame:
+                  probe_keys: DataFrame | None = None,
+                  hash_keys: bool = False) -> DataFrame:
     """(column_name, key, candidate) support counts. All key families are
     emitted by a SINGLE explode over one context pass (a per-family union
     would re-run the window pipeline per branch — Catalyst has no
@@ -154,7 +155,19 @@ def _scored_pairs(ctx: DataFrame,
     a min(donor-pointer)) is not HashAggregate-compatible, and the fallback
     SortAggregate sorts the full exploded pair set — measured as +2.5× on
     this, the widest aggregation of the merge pass. Payload recovery happens
-    downstream by sig-keyed fetch (engine.merge), never here."""
+    downstream by sig-keyed fetch (engine.merge), never here.
+
+    ``hash_keys=True`` replaces the composite string key (up to ~70 bytes:
+    turn-mod + two md5 hex sigs) with its ``xxhash64`` — the widest
+    aggregation and the probe join then group/compare/shuffle an 8-byte
+    long instead of re-hashing long strings per row (measured −35% on the
+    index build at 6M turns). The key string is still BUILT per row (its
+    null-sentinel structure defines key identity), only its downstream
+    representation changes. Collision trade: two context keys colliding in
+    64 bits merge their candidate counts — ~1e-6 at 1e6 distinct keys,
+    and the blast radius is one heuristically-imputed cell, never table
+    integrity — the same class of trade ``changes_between`` documents for
+    its row-hash diff."""
     fams = F.array(*[
         F.struct(F.lit(name).alias("column_name"),
                  key.alias("key"), cand.alias("candidate"))
@@ -163,6 +176,10 @@ def _scored_pairs(ctx: DataFrame,
              .select("f.column_name", "f.key", "f.candidate")
              .filter(F.col("candidate").isNotNull()
                      & F.col("key").isNotNull()))
+    if hash_keys:
+        pairs = pairs.withColumn("key", F.xxhash64("key"))
+        if probe_keys is not None:
+            probe_keys = probe_keys.withColumn("key", F.xxhash64("key"))
     if probe_keys is not None:
         pairs = pairs.join(F.broadcast(probe_keys), ["column_name", "key"],
                            "left_semi")
@@ -172,7 +189,8 @@ def _scored_pairs(ctx: DataFrame,
 
 def build_candidate_index(df: DataFrame, k: int = TOPK,
                           ctx: DataFrame | None = None,
-                          probe_keys: DataFrame | None = None) -> DataFrame:
+                          probe_keys: DataFrame | None = None,
+                          hash_keys: bool = False) -> DataFrame:
     """One job: context windows → per-column (key, candidate) support counts →
     per-key top-k.
 
@@ -185,10 +203,16 @@ def build_candidate_index(df: DataFrame, k: int = TOPK,
     ``probe_keys`` (columns: column_name, key) prunes the build to keys that
     will actually be looked up (CESID's *online* search probes only the
     missing cells' contexts, retrieve_relevant_values.py:133-231); omit it to
-    materialize the full offline index table."""
+    materialize the full offline index table.
+
+    ``hash_keys=True`` (the merge-pass mode — see ``_scored_pairs``) emits
+    ``key`` as its 64-bit xxhash instead of the composite string; consumers
+    (``plan_impute_updates``) detect the long-typed key and hash their probe
+    side identically. The public offline-index default stays string-keyed
+    (human-debuggable, collision-free)."""
     if ctx is None:
         ctx = _with_context(df)
-    scored = _scored_pairs(ctx, probe_keys)
+    scored = _scored_pairs(ctx, probe_keys, hash_keys=hash_keys)
     if k == 1:
         # SortAggregate here is fine: the input is the already-aggregated
         # pair set (orders of magnitude smaller than the explode)

@@ -135,6 +135,11 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     # probing its per-dtype indexes one by one, construct_index.py:284-313).
     keyed = list(key_families())
     cells = melt_cells(work)
+    # a long-typed index key means the index was built with hash_keys=True
+    # (engine.index): hash the probe side identically so the join matches
+    from pyspark.sql.types import LongType
+    if isinstance(cand_idx.schema["key"].dataType, LongType):
+        cells = cells.withColumn("key", F.xxhash64("key"))
     rank1 = (cand_idx.filter(F.col("rank") == 1)
              .select("column_name", "key", "candidate"))
     hits = (cells.join(rank1, ["column_name", "key"], "inner")
@@ -861,21 +866,24 @@ def impute_merge(spark: SparkSession, table: Table,
     work = worklist(ctx).persist()
     if cand_idx is None:
         # merge-pass index: rank-1 only (k=1 — double partial agg, no window
-        # sort). probe_keys pruning: text-family (key, candidate) pairs are
+        # sort) with HASHED keys (engine.index hash_keys: the widest agg and
+        # the probe join carry an 8-byte long instead of a ~70-byte composite
+        # string — measured −35% on the index build at 6M turns, r7).
+        # probe_keys pruning: text-family (key, candidate) pairs are
         # near-unique per row, so the pair agg barely collapses them — the
         # index shuffle carries O(table) rows of which only O(worklist) are
-        # ever probed. The worklist cache is eagerly filled below anyway
-        # (the barrier that made pruning a loss in r2 is already paid), so
-        # the melted probe keys ride a broadcast semi-join into the explode.
-        # Measured wall-parity on this box (tmpfs shuffle ≈ memory speed:
-        # the per-row broadcast probe costs what the smaller exchange
-        # saves); default ON because a real cluster's shuffle moves those
-        # bytes over the network, where a ~3× smaller exchange is the
-        # difference that matters.
+        # ever probed. With fixed-width hashed keys that exchange is already
+        # ~3× smaller, and the per-row broadcast probe of the full exploded
+        # pair set measures a net LOSS here (r7: prune +1.8 s on a 6M-turn
+        # pass vs −0 saved) — default OFF now; flip ENGINE_PROBE_PRUNE=1 on
+        # a network-shuffle cluster where the smaller index exchange can
+        # still win.
         pk = None
-        if os.environ.get("ENGINE_PROBE_PRUNE", "1") == "1":
+        if os.environ.get("ENGINE_PROBE_PRUNE", "0") == "1":
             pk = melt_cells(work).select("column_name", "key").distinct()
-        cand_idx = build_candidate_index(df, k=1, ctx=ctx, probe_keys=pk)
+        cand_idx = build_candidate_index(
+            df, k=1, ctx=ctx, probe_keys=pk,
+            hash_keys=os.environ.get("ENGINE_HASH_KEYS", "1") == "1")
     # cand_idx is deliberately NOT persisted: it has exactly one consumer
     # (the rank-1 probe join inside the persisted probed-worklist frame),
     # and the in-memory columnar cache build for a multi-million-row
