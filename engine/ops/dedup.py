@@ -103,8 +103,17 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
                 "toks",
                 F.expr(f"transform(sequence(1, greatest(size(toks) - {n - 1},"
                        f" 0)), i -> array_join(slice(toks, i, {n}), ' '))"))
+    # the exploded gram set feeds FOUR consumers below (hot-gram counts,
+    # per-doc sizes, and both sides of the inverted-index self-join);
+    # Catalyst has no cross-branch subtree reuse, so without a persist the
+    # tokenize+explode pipeline re-scans the corpus once per consumer —
+    # 4 full text passes collapsed to 1 (guide §2.4: remove repeated work
+    # feeding one dataflow). MEMORY_AND_DISK: at corpus scale the gram set
+    # spills rather than re-tokenizing.
+    from pyspark import StorageLevel
     grams = base.select("id",
-                        F.explode(F.array_distinct("toks")).alias("g"))
+                        F.explode(F.array_distinct("toks")).alias("g")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     # stop-gram pruning: hot grams are FEW by construction (high-df), so the
     # anti-join side broadcasts; the corpus count rides a broadcast too,
     # keeping the whole plan one lazy dataflow
@@ -170,9 +179,26 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
     of b docs yields b² candidate pairs, so one hot bucket of boilerplate
     dwarfs everything else — the classic LSH skew. True near-dups inside a
     dropped bucket are still found through their other (more selective)
-    bands. Set None to disable (exact candidate recall)."""
+    bands. Set None to disable (exact candidate recall).
+
+    Plan shape (r7): the exploded token set feeds FOUR branches
+    (signatures, per-doc sizes, both verification sides). Catalyst
+    duplicates unshared subtrees per consumer — the un-persisted form
+    re-tokenized the corpus once per branch (16 parquet scans in one
+    plan). Persisting the gram frame collapses that to ONE tokenize pass
+    (measured 3.0→2.1 s at sf0.1); persisting the signature or bucket
+    frames too measures WORSE — each persist is a serialization barrier,
+    and their recompute-from-cached-grams is cheap parallel work.
+    MEMORY_AND_DISK spills at corpus scale instead of recomputing."""
+    from pyspark import StorageLevel
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, id_col, text_col)
+    grams = docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.array_distinct(tokens(text_col)))
+                        .alias("g")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("g"))))
+            .alias(f"mh{i}") for i in range(num_perm)]
+    sigs = grams.groupBy("id").agg(*aggs)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
@@ -197,10 +223,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
     # exact verification restricted to CANDIDATES only (the whole point of
     # LSH: never touch the full pair space). Intersection = candidate ⨝
     # grams(a) ⨝ grams(b on same gram) — cost |cand| × avg tokens, not
-    # |all token-sharing pairs|.
-    grams = docs.select(F.col(id_col).alias("id"),
-                        F.explode(F.array_distinct(tokens(text_col)))
-                        .alias("g"))
+    # |all token-sharing pairs| — over the SAME persisted gram set the
+    # signatures came from.
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     ga = grams.select(F.col("id").alias("id_a"), "g")
     gb = grams.select(F.col("id").alias("id_b"), "g")

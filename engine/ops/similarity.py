@@ -27,19 +27,44 @@ from pyspark.sql.types import LongType
 from .dedup import _cosine
 
 
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k per query. queries is the small side (broadcast);
-    scoring is zip_with/aggregate — wholestage-codegen'd, no Python."""
+    scoring is zip_with/aggregate — wholestage-codegen'd, no Python.
+
+    Per-side norms are computed ONCE per vector before the pair join (r7):
+    cosine = dot/(‖q‖·‖c‖) re-derived ‖q‖ and ‖c‖ per PAIR, tripling the
+    arithmetic; hoisting them is the same float64 sqrt(Σx²) value, so every
+    cosine is bit-identical. The corpus side is also spread across the
+    session's cores first — a single-file corpus scans as ONE task (an
+    unsplittable input, guide §2.5), serializing every dot product."""
+    par = queries.sparkSession.sparkContext.defaultParallelism
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv")) \
+        .withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv"))
+    try:
+        nparts = corpus.rdd.getNumPartitions()
+    except Exception:
+        nparts = par
+    if nparts < par:
+        # only when under-partitioned: a well-partitioned corpus at scale
+        # must not pay a full vector shuffle for nothing
+        c = c.repartition(par, "neighbor_id")
+    c = c.withColumn("cn", _norm(F.col("cv")))
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("cv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cosine", F.round(_cosine(F.col("qv"),
-                                                    F.col("cv")), 6)))
+              .withColumn("cosine",
+                          F.round(dot / (F.col("qn") * F.col("cn")), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rk", F.row_number().over(w))

@@ -204,8 +204,18 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 def j5(spark, sf):
     c = _t(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'")
     o, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
-    return (c.join(o, c.c_custkey == o.o_custkey)
-            .join(li, li.l_orderkey == o.o_orderkey)
+    # join order + explicit broadcast (guide §3.1): customer⨝orders
+    # projected to (o_orderkey, c_mktsegment) is the SMALL side (~1/5 of
+    # orders after the segment filter, 2 columns); the planner's estimates
+    # instead broadcast the much larger lineitem. Early projection keeps
+    # the broadcast tiny; the big side is never shuffled. Same inner-join
+    # rows, same aggregate — result unchanged.
+    co = (c.select("c_custkey", "c_mktsegment")
+          .join(o.select("o_custkey", "o_orderkey"),
+                c.c_custkey == o.o_custkey)
+          .select("o_orderkey", "c_mktsegment"))
+    return (li.select("l_orderkey", "l_extendedprice", "l_discount")
+            .join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
             .groupBy("o_orderkey", F.col("c_mktsegment").alias("segment"))
             .agg(F.round(_dsum(F.col("l_extendedprice")
                              * (1 - F.col("l_discount"))), 2)
