@@ -104,6 +104,7 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
                         fallbacks: DataFrame | None = None,
                         ctx: DataFrame | None = None,
                         work: DataFrame | None = None,
+                        work_rows: int | None = None,
                         _cache_out: list | None = None) -> DataFrame:
     """Worklist = rows with a missing role/tool/text cell (the analog of
     ``missing_tab_row_col.csv``); output = updates keyed (conv_id, turn_idx)
@@ -142,6 +143,15 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
         cells = cells.withColumn("key", F.xxhash64("key"))
     rank1 = (cand_idx.filter(F.col("rank") == 1)
              .select("column_name", "key", "candidate"))
+    # probe-join side choice: when the caller knows the worklist is small
+    # (``work_rows`` — impute_merge already materialized the count), force
+    # the CELLS side to broadcast so the multi-million-row rank-1 index
+    # never shuffles at all (guide §2.4: a broadcast join replaces the
+    # shuffle of the large side). Above the gate (a 100 TB worklist is
+    # itself huge) the shuffle equi-join stands.
+    if (work_rows is not None
+            and work_rows * len(keyed) <= BROADCAST_MAX_ROWS):
+        cells = F.broadcast(cells)
     hits = (cells.join(rank1, ["column_name", "key"], "inner")
             .groupBy("conv_id", "turn_idx")
             .pivot("column_name", keyed)
@@ -892,10 +902,11 @@ def impute_merge(spark: SparkSession, table: Table,
     # sequential job) before the big combined action.
     _tmark("impute.setup", t_setup)
     t0 = time.time()
-    work.count()
+    n_work = work.count()
     _tmark("impute.ctx_work_fill", t0)
     inner_caches: list = []
     updates = plan_impute_updates(df, cand_idx, ctx=ctx, work=work,
+                                  work_rows=n_work,
                                   _cache_out=inner_caches)
     update_map = {"role": "upd_role", "tool": "upd_tool", "text": "upd_text"}
     src = updates.select("conv_id", "turn_idx",

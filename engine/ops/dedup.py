@@ -181,21 +181,25 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
     dropped bucket are still found through their other (more selective)
     bands. Set None to disable (exact candidate recall).
 
-    Plan shape (r7): the exploded token set feeds FOUR branches
-    (signatures, per-doc sizes, both verification sides). Catalyst
-    duplicates unshared subtrees per consumer — the un-persisted form
-    re-tokenized the corpus once per branch (16 parquet scans in one
-    plan). Persisting the gram frame collapses that to ONE tokenize pass
-    (measured 3.0→2.1 s at sf0.1); persisting the signature or bucket
+    Plan shape (r7): the distinct-token ARRAY frame (one row per doc) is
+    persisted and feeds three branches — the signature explode and both
+    verification sides. Catalyst duplicates unshared subtrees per
+    consumer, so the un-persisted form re-tokenized the corpus once per
+    branch (16 parquet scans in one plan). Verification is a per-pair
+    ``array_intersect`` over the cached arrays instead of the old
+    candidate ⨝ grams(a) ⨝ grams(b) → count shape: |A∩B| and the per-doc
+    sizes are byte-identical, and four exchanges (two gram joins, the
+    pair-count aggregate, the sizes aggregate) collapse into two plain
+    joins against a |docs|-row frame. Persisting the signature or bucket
     frames too measures WORSE — each persist is a serialization barrier,
-    and their recompute-from-cached-grams is cheap parallel work.
+    and their recompute-from-cached-arrays is cheap parallel work.
     MEMORY_AND_DISK spills at corpus scale instead of recomputing."""
     from pyspark import StorageLevel
     rows = num_perm // bands
-    grams = docs.select(F.col(id_col).alias("id"),
-                        F.explode(F.array_distinct(tokens(text_col)))
-                        .alias("g")) \
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.array_distinct(tokens(text_col)).alias("toks")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    grams = base.select("id", F.explode("toks").alias("g"))
     aggs = [F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("g"))))
             .alias(f"mh{i}") for i in range(num_perm)]
     sigs = grams.groupBy("id").agg(*aggs)
@@ -221,22 +225,16 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
                     F.col("b.id").alias("id_b"))
             .distinct())
     # exact verification restricted to CANDIDATES only (the whole point of
-    # LSH: never touch the full pair space). Intersection = candidate ⨝
-    # grams(a) ⨝ grams(b on same gram) — cost |cand| × avg tokens, not
-    # |all token-sharing pairs| — over the SAME persisted gram set the
-    # signatures came from.
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    ga = grams.select(F.col("id").alias("id_a"), "g")
-    gb = grams.select(F.col("id").alias("id_b"), "g")
-    inter = (cand.join(ga, "id_a")            # pair × tokens of a
-             .join(gb, ["id_b", "g"])         # equi-join on (id_b, gram)
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("common")))
-    return (inter
-            .join(sizes.withColumnRenamed("id", "id_a")
-                  .withColumnRenamed("sz", "sz_a"), "id_a")
-            .join(sizes.withColumnRenamed("id", "id_b")
-                  .withColumnRenamed("sz", "sz_b"), "id_b")
+    # LSH: never touch the full pair space). |A∩B| = size(array_intersect)
+    # over the cached distinct-token arrays (a hash-set intersect,
+    # O(|A|+|B|) per pair) — the same integer the old gram-equi-join count
+    # produced, with no exploded-gram shuffle and no sizes aggregate.
+    ta = base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"),
+                     F.size("toks").alias("sz_a"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"),
+                     F.size("toks").alias("sz_b"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("common", F.size(F.array_intersect("ta", "tb")))
             .withColumn("jaccard",
                         F.col("common")
                         / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
