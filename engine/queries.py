@@ -374,19 +374,43 @@ FROM (
 """)
 def a3(spark, sf):
     li = _t(spark, sf, "lineitem")
-    mu = (li.groupBy(F.col("l_returnflag").alias("flag"))
-          .agg(_dmean("l_quantity").alias("m")))
-    j = li.join(F.broadcast(mu), li.l_returnflag == mu.flag)
-    n = F.count("l_quantity")
-    m2 = _dsum(F.pow(F.col("l_quantity") - F.col("m"), 2)) / n
-    m3 = _dsum(F.pow(F.col("l_quantity") - F.col("m"), 3)) / n
+    # Two-level aggregation (guide §2.3 "aggregate before you shuffle"):
+    # l_quantity has ~50 distinct values per flag, so ONE partial-agg pass
+    # to (flag, quantity, n) replaces both full-table passes (the μ scan
+    # AND the moments scan with its countDistinct Expand). Exactness: the
+    # oracle sums CAST(v AS DECIMAL(38,12)) per ROW; a group contributes
+    # n·CAST(v) instead, computed as decimal(25,12)×decimal(12,0) —
+    # precision 38, no Spark precision-loss rescale — which is exactly the
+    # n-fold decimal sum. pow(q-m, k) is evaluated on the same (q, m)
+    # doubles as before, so every group value matches the per-row value,
+    # and decimal sums are order-independent. n_distinct = the group count
+    # (countDistinct's Expand gone). Oracle hash-verified.
+    gq = (li.filter(F.col("l_quantity").isNotNull())
+          .groupBy(F.col("l_returnflag").alias("flag"),
+                   F.col("l_quantity").alias("q"))
+          .agg(F.count(F.lit(1)).alias("nq")))
+
+    def dsum_n(col):
+        return F.sum(col.cast("decimal(25,12)")
+                     * F.col("nq").cast("decimal(12,0)")).cast("double")
+
+    # μ per flag via a window over the ~150-row grouped frame: a
+    # groupBy+self-join would recompute the (unshared) gq subtree twice
+    wflag = Window.partitionBy("flag")
+    m = (F.sum(F.col("q").cast("decimal(25,12)")
+               * F.col("nq").cast("decimal(12,0)")).over(wflag)
+         .cast("double") / F.sum("nq").over(wflag))
+    j = gq.withColumn("m", m)
+    n = F.sum("nq")
+    m2 = dsum_n(F.pow(F.col("q") - F.col("m"), 2)) / n
+    m3 = dsum_n(F.pow(F.col("q") - F.col("m"), 3)) / n
     return (j.groupBy("flag")
-            .agg(F.round(F.min("l_quantity"), 2).alias("mn"),
-                 F.round(F.max("l_quantity"), 2).alias("mx"),
-                 _r(_dsum("l_quantity") / n, 4).alias("mean"),
+            .agg(F.round(F.min("q"), 2).alias("mn"),
+                 F.round(F.max("q"), 2).alias("mx"),
+                 _r(dsum_n(F.col("q")) / n, 4).alias("mean"),
                  _r(m2, 3).alias("variance"),
                  _r(m3 / F.pow(m2, 1.5), 3).alias("skew"),
-                 F.countDistinct("l_quantity").alias("n_distinct")))
+                 F.count(F.lit(1)).alias("n_distinct")))
 
 
 # A4 — distinct count / unique ratio (retrieve_relevant_tables.py:43-58)
