@@ -157,17 +157,20 @@ def _scored_pairs(ctx: DataFrame,
     this, the widest aggregation of the merge pass. Payload recovery happens
     downstream by sig-keyed fetch (engine.merge), never here.
 
-    ``hash_keys=True`` replaces the composite string key (up to ~70 bytes:
-    turn-mod + two md5 hex sigs) with its ``xxhash64`` — the widest
-    aggregation and the probe join then group/compare/shuffle an 8-byte
-    long instead of re-hashing long strings per row (measured −35% on the
-    index build at 6M turns). The key string is still BUILT per row (its
-    null-sentinel structure defines key identity), only its downstream
-    representation changes. Collision trade: two context keys colliding in
-    64 bits merge their candidate counts — ~1e-6 at 1e6 distinct keys,
-    and the blast radius is one heuristically-imputed cell, never table
-    integrity — the same class of trade ``changes_between`` documents for
-    its row-hash diff."""
+    ``hash_keys=True`` replaces the (family, composite-string-key) pair —
+    the key alone is up to ~70 bytes: turn-mod + two md5 hex sigs — with
+    ONE ``xxhash64(column_name, key)`` long: the widest aggregation and
+    the probe join then group/compare/shuffle an 8-byte column instead of
+    re-hashing two strings per row (measured −35% on the index build at
+    6M turns; folding the family name into the hash and dropping it from
+    the grouping bought another ~15%). The key string is still BUILT per
+    row (its null-sentinel structure defines key identity), only its
+    downstream representation changes; ``column_name`` disappears from
+    the hashed output (consumers keep their own). Collision trade: two
+    context keys colliding in 64 bits merge their candidate counts —
+    ~1e-6 at 1e6 distinct keys, and the blast radius is one
+    heuristically-imputed cell, never table integrity — the same class of
+    trade ``changes_between`` documents for its row-hash CDC diff."""
     fams = F.array(*[
         F.struct(F.lit(name).alias("column_name"),
                  key.alias("key"), cand.alias("candidate"))
@@ -177,13 +180,21 @@ def _scored_pairs(ctx: DataFrame,
              .filter(F.col("candidate").isNotNull()
                      & F.col("key").isNotNull()))
     if hash_keys:
-        pairs = pairs.withColumn("key", F.xxhash64("key"))
+        # fold AFTER the null filter: xxhash64 skips null args, so hashing
+        # first would alias a null key onto the name-only hash
+        pairs = pairs.select(F.xxhash64("column_name", "key").alias("key"),
+                             "candidate")
         if probe_keys is not None:
-            probe_keys = probe_keys.withColumn("key", F.xxhash64("key"))
+            probe_keys = probe_keys.select(
+                F.xxhash64("column_name", "key").alias("key"))
+        group = ["key", "candidate"]
+    else:
+        group = ["column_name", "key", "candidate"]
     if probe_keys is not None:
-        pairs = pairs.join(F.broadcast(probe_keys), ["column_name", "key"],
+        pairs = pairs.join(F.broadcast(probe_keys),
+                           ["key"] if hash_keys else ["column_name", "key"],
                            "left_semi")
-    return (pairs.groupBy("column_name", "key", "candidate")
+    return (pairs.groupBy(*group)
             .agg(F.count(F.lit(1)).cast("double").alias("score")))
 
 
@@ -206,26 +217,29 @@ def build_candidate_index(df: DataFrame, k: int = TOPK,
     materialize the full offline index table.
 
     ``hash_keys=True`` (the merge-pass mode — see ``_scored_pairs``) emits
-    ``key`` as its 64-bit xxhash instead of the composite string; consumers
-    (``plan_impute_updates``) detect the long-typed key and hash their probe
-    side identically. The public offline-index default stays string-keyed
-    (human-debuggable, collision-free)."""
+    ``key`` as ``xxhash64(column_name, key)`` instead of the (family,
+    composite string) pair — the output then has NO ``column_name``
+    column; consumers (``plan_impute_updates``) detect the long-typed key
+    and hash their probe side identically (they keep their own family
+    column for the pivot). The public offline-index default stays
+    string-keyed (human-debuggable, collision-free)."""
     if ctx is None:
         ctx = _with_context(df)
     scored = _scored_pairs(ctx, probe_keys, hash_keys=hash_keys)
+    kcols = ["key"] if hash_keys else ["column_name", "key"]
     if k == 1:
         # SortAggregate here is fine: the input is the already-aggregated
         # pair set (orders of magnitude smaller than the explode)
         best = F.struct((-F.col("score")).alias("ns"),
                         F.col("candidate").alias("candidate"))
-        return (scored.groupBy("column_name", "key")
+        return (scored.groupBy(*kcols)
                 .agg(F.min(best).alias("m"))
-                .select("column_name", "key",
+                .select(*kcols,
                         F.col("m.candidate").alias("candidate"),
                         (-F.col("m.ns")).alias("score"),
                         F.lit(1).alias("rank")))
-    w = (Window.partitionBy("column_name", "key")
+    w = (Window.partitionBy(*kcols)
          .orderBy(F.desc("score"), F.asc("candidate")))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("column_name", "key", "candidate", "score", "rank"))
+            .select(*kcols, "candidate", "score", "rank"))

@@ -137,12 +137,21 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     keyed = list(key_families())
     cells = melt_cells(work)
     # a long-typed index key means the index was built with hash_keys=True
-    # (engine.index): hash the probe side identically so the join matches
+    # (engine.index): its key is xxhash64(column_name, key) and it carries
+    # no column_name column — fold the probe side identically (cells keep
+    # their own column_name for the pivot) and join on the single long
     from pyspark.sql.types import LongType
-    if isinstance(cand_idx.schema["key"].dataType, LongType):
-        cells = cells.withColumn("key", F.xxhash64("key"))
-    rank1 = (cand_idx.filter(F.col("rank") == 1)
-             .select("column_name", "key", "candidate"))
+    hashed = isinstance(cand_idx.schema["key"].dataType, LongType)
+    if hashed:
+        cells = cells.select("conv_id", "turn_idx", "column_name",
+                             F.xxhash64("column_name", "key").alias("key"))
+        rank1 = (cand_idx.filter(F.col("rank") == 1)
+                 .select("key", "candidate"))
+        join_cols = ["key"]
+    else:
+        rank1 = (cand_idx.filter(F.col("rank") == 1)
+                 .select("column_name", "key", "candidate"))
+        join_cols = ["column_name", "key"]
     # probe-join side choice: when the caller knows the worklist is small
     # (``work_rows`` — impute_merge already materialized the count), force
     # the CELLS side to broadcast so the multi-million-row rank-1 index
@@ -152,7 +161,7 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     if (work_rows is not None
             and work_rows * len(keyed) <= BROADCAST_MAX_ROWS):
         cells = F.broadcast(cells)
-    hits = (cells.join(rank1, ["column_name", "key"], "inner")
+    hits = (cells.join(rank1, join_cols, "inner")
             .groupBy("conv_id", "turn_idx")
             .pivot("column_name", keyed)
             .agg(F.first("candidate")))
