@@ -40,6 +40,21 @@ def tokens(col: str = "text"):
     return F.split(normalized_text(col), " ")
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition an UNDER-partitioned frame across the session's
+    cores (guide §2.5: a single-file corpus is an unsplittable input whose
+    scan — and everything pipelined into it, e.g. the 16-permutation
+    MinHash md5s — runs as ONE task). Keyed repartition, so no
+    sort-before-repartition pass and deterministic placement; a
+    well-partitioned corpus at scale is left alone."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        n = par
+    return df.repartition(par, key) if n < par else df
+
+
 # ------------------------------------------------------------------ exact
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
@@ -111,8 +126,8 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     # feeding one dataflow). MEMORY_AND_DISK: at corpus scale the gram set
     # spills rather than re-tokenizing.
     from pyspark import StorageLevel
-    grams = base.select("id",
-                        F.explode(F.array_distinct("toks")).alias("g")) \
+    grams = _spread(base, "id") \
+        .select("id", F.explode(F.array_distinct("toks")).alias("g")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     # stop-gram pruning: hot grams are FEW by construction (high-df), so the
     # anti-join side broadcasts; the corpus count rides a broadcast too,
@@ -196,8 +211,9 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
     MEMORY_AND_DISK spills at corpus scale instead of recomputing."""
     from pyspark import StorageLevel
     rows = num_perm // bands
-    base = docs.select(F.col(id_col).alias("id"),
-                       F.array_distinct(tokens(text_col)).alias("toks")) \
+    base = _spread(docs.select(F.col(id_col).alias("id"),
+                               F.array_distinct(tokens(text_col))
+                               .alias("toks")), "id") \
         .persist(StorageLevel.MEMORY_AND_DISK)
     grams = base.select("id", F.explode("toks").alias("g"))
     aggs = [F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("g"))))
