@@ -169,15 +169,35 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 16,
 
     md5-as-permutation matches the reference's datasketch MinHash update
     (``construct_index.py:96-100``) in spirit and — unlike xxhash64 — has an
-    exact DuckDB equivalent, so the driver oracle can verify it. The explode
-    re-aggregates immediately: Spark's partial hash agg computes per-partition
-    mins map-side, so the shuffle is |docs|×1 rows of num_perm columns."""
-    toks = docs.select(F.col(id_col).alias("id"),
-                       F.explode(F.array_distinct(tokens(text_col)))
-                       .alias("tok"))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("tok"))))
-            .alias(f"mh{i}") for i in range(num_perm)]
-    return toks.groupBy("id").agg(*aggs)
+    exact DuckDB equivalent, so the driver oracle can verify it.
+
+    Shape (r7): ``array_min(transform(toks, t -> md5(...)))`` per PERMUTATION
+    on the one-row-per-doc token array — a pure narrow projection. The
+    explode → ``groupBy(id).agg(min(...))`` form it replaces planned as a
+    SortAggregate (min over var-length strings has no mutable HashAggregate
+    buffer) with a |doc×token|-row exchange; the array form computes the
+    same mins with NO shuffle and no sort. A null token array (null text)
+    is filtered out, matching explode's drop of null/empty arrays."""
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.array_distinct(tokens(text_col)).alias("toks")) \
+        .filter(F.col("toks").isNotNull())
+    return base.select("id", *_sig_cols(num_perm))
+
+
+def _sig_cols(num_perm: int):
+    """MinHash signature columns over a distinct-token array column ``toks``:
+    sig_i = min over tokens of md5('p<i>:' || token), as array_min of a
+    transform — narrow, shuffle-free, byte-identical to the exploded
+    min-aggregate (md5 is never null; array_min and min() both skip nulls).
+
+    The per-permutation hasher MUST be a one-parameter lambda: pyspark's
+    ``transform`` treats a two-parameter callable as (element, index), so a
+    ``lambda t, i=i`` default-arg closure silently receives the array-index
+    Column as ``i`` and hashes a stringified Column into the prefix."""
+    def perm_hash(i: int):
+        return lambda t: F.md5(F.concat(F.lit(f"p{i}:"), t))
+    return [F.array_min(F.transform("toks", perm_hash(i))).alias(f"mh{i}")
+            for i in range(num_perm)]
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
@@ -196,66 +216,71 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
     dropped bucket are still found through their other (more selective)
     bands. Set None to disable (exact candidate recall).
 
-    Plan shape (r7): the distinct-token ARRAY frame (one row per doc) is
-    persisted and feeds three branches — the signature explode and both
-    verification sides. Catalyst duplicates unshared subtrees per
-    consumer, so the un-persisted form re-tokenized the corpus once per
-    branch (16 parquet scans in one plan). Verification is a per-pair
-    ``array_intersect`` over the cached arrays instead of the old
-    candidate ⨝ grams(a) ⨝ grams(b) → count shape: |A∩B| and the per-doc
-    sizes are byte-identical, and four exchanges (two gram joins, the
-    pair-count aggregate, the sizes aggregate) collapse into two plain
-    joins against a |docs|-row frame. Persisting the signature or bucket
-    frames too measures WORSE — each persist is a serialization barrier,
-    and their recompute-from-cached-arrays is cheap parallel work.
-    MEMORY_AND_DISK spills at corpus scale instead of recomputing."""
-    from pyspark import StorageLevel
+    Plan shape (r7): ONE linear dataflow — scan → tokenize → per-row
+    signature map (``array_min(transform(...))``, no explode, no
+    SortAggregate — see ``minhash_signatures``) → band explode → one
+    (band, bucket) exchange → window count drops degenerate buckets
+    (bounded memory: a hot bucket spills in the window sort instead of
+    materializing in an agg buffer) → ``collect_list`` of the ≤max_bucket
+    (id, toks) members per surviving bucket → i<j pairs AND their exact
+    token-Jaccard verification generated inline with array transforms
+    (``array_intersect`` is the same |A∩B| integer the old
+    candidate ⨝ grams(a) ⨝ grams(b) → count shape produced) → threshold
+    filter → distinct. This replaces the previous bucket self-join + two
+    verification joins against a persisted token frame: the corpus was
+    tokenized once per plan branch (the sig aggregation ran on BOTH
+    self-join sides) and the persist raced its own materialization across
+    AQE's concurrent stages. Carrying ``toks`` through the single
+    exchange ships each token array ``bands`` times — the same bytes the
+    two verification joins shuffled, now with no second full pass, no
+    cache, and ~3 fewer exchanges. A pair sharing several buckets is
+    verified once per shared bucket (duplicate rows collapsed by the
+    final distinct) — bounded by ``bands``, the trade for dropping the
+    candidate-distinct exchange before verification. With
+    ``max_bucket=None`` (exact recall, opt-in) the per-bucket collect is
+    unbounded — the documented trade for that mode."""
     rows = num_perm // bands
     base = _spread(docs.select(F.col(id_col).alias("id"),
                                F.array_distinct(tokens(text_col))
                                .alias("toks")), "id") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    grams = base.select("id", F.explode("toks").alias("g"))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("g"))))
-            .alias(f"mh{i}") for i in range(num_perm)]
-    sigs = grams.groupBy("id").agg(*aggs)
+        .filter(F.col("toks").isNotNull())
+    sigs = base.select("id", "toks", *_sig_cols(num_perm))
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
         band_cols.append(F.struct(F.lit(b).alias("band"),
                                   F.md5(F.concat_ws("|", *cols))
                                   .alias("bucket")))
-    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")) \
-                  .select("id", "bb.band", "bb.bucket")
+    buckets = (sigs
+               .select("id", "toks",
+                       F.explode(F.array(*band_cols)).alias("bb"))
+               .select("id", "toks", "bb.band", "bb.bucket"))
     if max_bucket is not None:
-        small = (buckets.groupBy("band", "bucket")
-                 .agg(F.count(F.lit(1)).alias("__n"))
-                 .filter(F.col("__n") <= max_bucket)
-                 .drop("__n"))
-        buckets = buckets.join(small, ["band", "bucket"], "left_semi")
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"))
-            .distinct())
-    # exact verification restricted to CANDIDATES only (the whole point of
-    # LSH: never touch the full pair space). |A∩B| = size(array_intersect)
-    # over the cached distinct-token arrays (a hash-set intersect,
-    # O(|A|+|B|) per pair) — the same integer the old gram-equi-join count
-    # produced, with no exploded-gram shuffle and no sizes aggregate.
-    ta = base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"),
-                     F.size("toks").alias("sz_a"))
-    tb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"),
-                     F.size("toks").alias("sz_b"))
-    return (cand.join(ta, "id_a").join(tb, "id_b")
-            .withColumn("common", F.size(F.array_intersect("ta", "tb")))
+        w = Window.partitionBy("band", "bucket")
+        buckets = (buckets
+                   .withColumn("__n", F.count(F.lit(1)).over(w))
+                   .filter(F.col("__n") <= max_bucket)
+                   .drop("__n"))
+    grouped = (buckets.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list(F.struct("id", "toks")))
+                    .alias("members")))
+    # members is sorted by id (unique within a bucket), so i<j gives
+    # id_a < id_b; each pair is verified in place over its own arrays
+    pair_expr = F.expr(
+        "flatten(transform(members, (a, i) -> "
+        "transform(slice(members, i + 2, size(members)), b -> "
+        "named_struct('id_a', a.id, 'id_b', b.id, "
+        "'common', size(array_intersect(a.toks, b.toks)), "
+        "'sz_a', size(a.toks), 'sz_b', size(b.toks)))))")
+    pairs = (grouped.select(F.explode(pair_expr).alias("p"))
+             .select("p.id_a", "p.id_b", "p.common", "p.sz_a", "p.sz_b"))
+    return (pairs
             .withColumn("jaccard",
                         F.col("common")
                         / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .distinct())
 
 
 # ------------------------------------------------------------------ simhash

@@ -63,6 +63,42 @@ def _warm_session(spark: SparkSession) -> None:
         (wdf.select(F.row_number().over(w).alias("rn"),
                     F.lag("d").over(w).alias("lg"))
          .count())
+        # the LSH/dedup pattern family: array_min(transform(md5)) signature
+        # maps, window count, ObjectHashAggregate collect_list of structs,
+        # nested-transform pair generation with array_intersect. Same
+        # principle as the stanzas above (first-use codegen+JIT of these
+        # operators lands on whichever query runs them first — measured
+        # 4.7-9.0 s -> 4.0-5.0 s on the first dedup_minhash_lsh run,
+        # interleaved A/B, and far lower run-to-run spread).
+        tdf = wdf.selectExpr(
+            "id", "cast(id % 97 as string) AS b",
+            "split(concat('tok', cast(id % 13 as string), "
+            "' alpha beta gamma delta ', cast(id as string)), ' ')"
+            " AS toks")
+        sig = tdf.select(
+            "id", "b", "toks",
+            *[F.array_min(F.transform(
+                "toks",
+                (lambda j: lambda t: F.md5(
+                    F.concat(F.lit(f"p{j}:"), t)))(i)))
+              .alias(f"m{i}") for i in range(16)])
+        wb = Window.partitionBy("b")
+        gg = (sig.withColumn("__n", F.count(F.lit(1)).over(wb))
+              .filter(F.col("__n") <= 64)
+              .groupBy("b")
+              .agg(F.sort_array(F.collect_list(F.struct("id", "toks")))
+                   .alias("members")))
+        pair = F.expr(
+            "flatten(transform(members, (a, i) -> "
+            "transform(slice(members, i + 2, size(members)), x -> "
+            "named_struct('id_a', a.id, 'id_b', x.id, "
+            "'common', size(array_intersect(a.toks, x.toks)), "
+            "'sz_a', size(a.toks), 'sz_b', size(x.toks)))))")
+        (gg.select(F.explode(pair).alias("p")).select("p.*")
+         .withColumn("j", F.col("common")
+                     / (F.col("sz_a") + F.col("sz_b")
+                        - F.col("common")))
+         .filter("j >= 0.1").distinct().count())
         spark.createDataFrame([(1.0,)], "x double").toPandas()
     except Exception:
         pass  # warm-up is best-effort; never block session creation
