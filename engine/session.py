@@ -99,6 +99,28 @@ def _warm_session(spark: SparkSession) -> None:
                      / (F.col("sz_a") + F.col("sz_b")
                         - F.col("common")))
          .filter("j >= 0.1").distinct().count())
+        # the join + clustered-rewrite pattern family: broadcast hash join,
+        # sort-merge join, repartitionByRange + per-partition sort into a
+        # parquet write (the cluster-rewrite shape). None of the stanzas
+        # above touch a join exec, so join-bearing first runs still paid
+        # the first-use cost (j1 3.4 s -> 1.6 s, j5 3.6 s -> 1.7 s in the
+        # slow-ambient A/B pair; maintain pass at 8 cores won all three
+        # interleaved A/B pairs: 44.6/44.2/42.2 -> 41.8/41.9/36.6 s).
+        a = spark.range(4000).selectExpr(
+            "id", "id % 50 AS k", "cast(id as double) AS v",
+            "cast(id % 997 as string) AS s")
+        bb = spark.range(500).selectExpr(
+            "id AS k2", "cast(id % 7 as string) AS tag")
+        (a.join(F.broadcast(bb), a.k == bb.k2)
+         .groupBy("tag").agg(F.sum("v")).count())
+        c = spark.range(4000).selectExpr(
+            "id AS k3", "cast(id as double) AS w")
+        (a.hint("merge").join(c, a.id == c.k3)
+         .select("k", "w").count())
+        rw = os.path.join(d, "rw")
+        (a.repartitionByRange(4, "k", "id")
+         .sortWithinPartitions("k", "id")
+         .write.mode("overwrite").parquet(rw))
         spark.createDataFrame([(1.0,)], "x double").toPandas()
     except Exception:
         pass  # warm-up is best-effort; never block session creation
