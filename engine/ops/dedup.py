@@ -244,16 +244,21 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
                                F.array_distinct(tokens(text_col))
                                .alias("toks")), "id") \
         .filter(F.col("toks").isNotNull())
-    sigs = base.select("id", "toks", *_sig_cols(num_perm))
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.md5(F.concat_ws("|", *cols))
-                                  .alias("bucket")))
+    # one nested-transform expression instead of num_perm named columns
+    # (plan/codegen size: 16 array_min subtrees collapse to one);
+    # md5('p' || i || ':' || t) is byte-identical to the f"p{i}:" prefix,
+    # verified cell-exact against _sig_cols
+    sigs = base.select("id", "toks", F.expr(
+        f"transform(sequence(0, {num_perm - 1}), i -> "
+        "array_min(transform(toks, t -> "
+        "md5(concat('p', cast(i as string), ':', t)))))").alias("sigarr"))
     buckets = (sigs
                .select("id", "toks",
-                       F.explode(F.array(*band_cols)).alias("bb"))
+                       F.explode(F.expr(
+                           f"transform(sequence(0, {bands - 1}), b -> "
+                           f"named_struct('band', b, 'bucket', "
+                           f"md5(array_join(slice(sigarr, b * {rows} + 1, "
+                           f"{rows}), '|'))))")).alias("bb"))
                .select("id", "toks", "bb.band", "bb.bucket"))
     if max_bucket is not None:
         w = Window.partitionBy("band", "bucket")
