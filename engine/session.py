@@ -121,6 +121,22 @@ def _warm_session(spark: SparkSession) -> None:
         (a.repartitionByRange(4, "k", "id")
          .sortWithinPartitions("k", "id")
          .write.mode("overwrite").parquet(rw))
+        # higher-order functions over double arrays (zip_with/aggregate —
+        # the cosine kernel of the similarity ops; +1 keeps norms nonzero
+        # under ANSI division)
+        (spark.range(2000)
+         .selectExpr(
+             "id",
+             "transform(sequence(0, 15), i -> "
+             "cast(id % (i + 2) + 1 as double)) AS va",
+             "transform(sequence(0, 15), i -> "
+             "cast((id + 3) % (i + 5) + 1 as double)) AS vb")
+         .selectExpr(
+             "aggregate(zip_with(va, vb, (x, y) -> x * y), "
+             "cast(0.0 as double), (acc, x) -> acc + x) AS dot",
+             "sqrt(aggregate(va, cast(0.0 as double), "
+             "(acc, x) -> acc + x * x)) AS na")
+         .selectExpr("dot / na AS c").filter("c > -1e9").count())
         spark.createDataFrame([(1.0,)], "x double").toPandas()
     except Exception:
         pass  # warm-up is best-effort; never block session creation
