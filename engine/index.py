@@ -49,17 +49,33 @@ TOPK = 3  # reference keeps top-3 similar tuples (retrieve_relevant_values.py:20
 
 
 def _with_context(df: DataFrame,
-                  extra: dict | None = None) -> DataFrame:
+                  extra: dict | None = None,
+                  sig_hash: bool = False) -> DataFrame:
     """Lean per-conversation context under stable (conv_id, turn_idx)
-    ordering: md5(text) is computed BEFORE the window (narrow), so the
+    ordering: the text sig is computed BEFORE the window (narrow), so the
     window shuffle — the single widest exchange of the merge pass — carries
-    ~60 B/row instead of the raw text payload. ONE window sort produces
-    every context column (all functions share the frame → single Window
-    exec). Window partitions are bounded by conversation length (≤ ~1e5
-    turns even for hot conversations); AQE splits oversized partitions.
+    a fixed-width sig per row instead of the raw text payload. ONE window
+    sort produces every context column (all functions share the frame →
+    single Window exec). Window partitions are bounded by conversation
+    length (≤ ~1e5 turns even for hot conversations); AQE splits oversized
+    partitions.
 
-    Output columns: conv_id, turn_idx, role, tool, text_sig (md5; null ⇔
+    Output columns: conv_id, turn_idx, role, tool, text_sig (null ⇔
     text null), prev_role, next_role, prev_text_sig, next_text_sig.
+
+    ``sig_hash=True`` (the merge-pass mode) represents the sig as a
+    null-guarded ``xxhash64(text)`` LONG instead of the md5 hex string:
+    the window exchange then carries 8 B per sig instead of ~32 B — the
+    guide-§2.3 "narrower types" cut on the pass's widest full-table
+    shuffle — and every downstream consumer (key hashing, index
+    candidates, the sig-keyed text fetch) stays fixed-width. xxhash64
+    SKIPS null args (it would alias null text onto the seed hash), hence
+    the explicit null guard preserving "sig IS NULL ⇔ text IS NULL".
+    Collision trade: two distinct texts colliding in 64 bits could swap
+    one imputed text value — same class and odds as the hashed index keys
+    (~1e-6 at 1e6 distinct; blast radius one heuristic cell). The public
+    offline-index API keeps md5 (hex, collision-free-in-practice,
+    DuckDB-replayable).
 
     Callers that consume the context more than once (index build + update
     plan) should persist the result: Catalyst does NOT share a common
@@ -69,8 +85,10 @@ def _with_context(df: DataFrame,
     ride the same pass — computed narrow, before the window — so a
     consumer needing them pays no extra table scan."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    sig = (F.when(F.col("text").isNotNull(), F.xxhash64("text"))
+           if sig_hash else F.md5("text"))
     cols = [F.col("conv_id"), F.col("turn_idx"), F.col("role"),
-            F.col("tool"), F.md5("text").alias("text_sig")]
+            F.col("tool"), sig.alias("text_sig")]
     for name, col in (extra or {}).items():
         cols.append(col.alias(name))
     sigs = df.select(*cols)
@@ -115,6 +133,51 @@ def text_next_key_col():
 
 
 TEXT_FAMILIES = ("text", "text_prev", "text_next")
+
+
+def hashed_families():
+    """The merge-pass (``sig_hash`` context) analog of ``key_families``:
+    per-family (64-bit key, candidate) pairs where the key is hashed
+    DIRECTLY from the context components — ``xxhash64(family, comp...)``
+    — instead of building a ``concat_ws`` composite string per exploded
+    row and re-hashing it (guide §1.2 per-task work: drops one string
+    allocation + one variable-width hash per (row × family)). Key
+    identity matches the string scheme: the family literal disambiguates
+    families, coalesce sentinels preserve the null-neighbor classes, and
+    components are fixed-width longs or a closed role vocabulary (no
+    concatenation aliasing). Text-family candidates are the long sig cast
+    to string (uniform candidate type across the explode); the sig-keyed
+    text fetch casts identically. Only meaningful on a ``sig_hash=True``
+    context (long text sigs)."""
+    text_ok = F.col("text_sig").isNotNull()
+    turn_mod = F.pmod(F.col("turn_idx"), F.lit(12))
+    pr = F.coalesce(F.col("prev_role"), F.lit("^"))
+    nr = F.coalesce(F.col("next_role"), F.lit("$"))
+    # -1 = no-neighbor sentinel for long sigs (a real sig colliding with
+    # it merges that boundary class — same e-19/key odds as the hash)
+    ps = F.coalesce(F.col("prev_text_sig"), F.lit(-1))
+    ns = F.coalesce(F.col("next_text_sig"), F.lit(-1))
+    ts = F.col("text_sig").cast("string")
+    return {
+        "role": (F.xxhash64(F.lit("role"), turn_mod, pr, nr),
+                 F.col("role")),
+        "role_text": (F.when(text_ok, F.xxhash64(F.lit("role_text"),
+                                                 F.col("text_sig"))),
+                      F.when(text_ok, F.col("role"))),
+        "tool": (F.when(text_ok, F.xxhash64(F.lit("tool"),
+                                            F.col("text_sig"))),
+                 F.when(text_ok, F.col("tool"))),
+        "text": (F.xxhash64(F.lit("text"), turn_mod, ps, ns), ts),
+        "text_prev": (F.xxhash64(F.lit("text_prev"), turn_mod, ps), ts),
+        "text_next": (F.xxhash64(F.lit("text_next"), turn_mod, ns), ts),
+        "role_fb": (F.xxhash64(F.lit("role_fb"), turn_mod), F.col("role")),
+        "tool_fb": (F.xxhash64(F.lit("tool_fb"), turn_mod), F.col("tool")),
+    }
+
+
+def _sig_is_long(df: DataFrame) -> bool:
+    from pyspark.sql.types import LongType
+    return isinstance(df.schema["text_sig"].dataType, LongType)
 
 
 def key_families():
@@ -171,6 +234,24 @@ def _scored_pairs(ctx: DataFrame,
     ~1e-6 at 1e6 distinct keys, and the blast radius is one
     heuristically-imputed cell, never table integrity — the same class of
     trade ``changes_between`` documents for its row-hash CDC diff."""
+    if hash_keys and _sig_is_long(ctx):
+        # sig_hash context: keys are component-hashed longs BEFORE the
+        # explode (hashed_families) — the exploded rows are already
+        # fixed-width (long, short-string) pairs, no post-explode
+        # projection or re-hash at all
+        fams = F.array(*[
+            F.struct(key.alias("key"), cand.alias("candidate"))
+            for key, cand in hashed_families().values()])
+        pairs = (ctx.select(F.explode(fams).alias("f"))
+                 .select("f.key", "f.candidate")
+                 .filter(F.col("candidate").isNotNull()
+                         & F.col("key").isNotNull()))
+        if probe_keys is not None:
+            probe_keys = probe_keys.select("key")
+        return (pairs.join(F.broadcast(probe_keys), ["key"], "left_semi")
+                if probe_keys is not None else pairs) \
+            .groupBy("key", "candidate") \
+            .agg(F.count(F.lit(1)).cast("double").alias("score"))
     fams = F.array(*[
         F.struct(F.lit(name).alias("column_name"),
                  key.alias("key"), cand.alias("candidate"))

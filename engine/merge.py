@@ -92,8 +92,14 @@ def worklist(ctx: DataFrame) -> DataFrame:
 
 def melt_cells(work: DataFrame) -> DataFrame:
     """Worklist at cell grain: (conv_id, turn_idx, column_name, key) — one
-    row per (missing cell, key family) probe."""
-    keyed = {name: key for name, (key, _) in key_families().items()}
+    row per (missing cell, key family) probe. On a ``sig_hash`` context
+    (long text sigs — the merge-pass mode) the keys are the component-
+    hashed longs of ``hashed_families``, matching the index build
+    expression-for-expression; otherwise the composite strings of
+    ``key_families``."""
+    from .index import _sig_is_long, hashed_families
+    fams = hashed_families() if _sig_is_long(work) else key_families()
+    keyed = {name: key for name, (key, _) in fams.items()}
     melt = F.explode(F.map_from_arrays(
         F.array(*[F.lit(k) for k in keyed]),
         F.array(*keyed.values())))
@@ -143,8 +149,12 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     from pyspark.sql.types import LongType
     hashed = isinstance(cand_idx.schema["key"].dataType, LongType)
     if hashed:
-        cells = cells.select("conv_id", "turn_idx", "column_name",
-                             F.xxhash64("column_name", "key").alias("key"))
+        if not isinstance(cells.schema["key"].dataType, LongType):
+            # string-keyed cells against a hashed index (md5-sig context):
+            # fold the probe side the same way the index build did
+            cells = cells.select(
+                "conv_id", "turn_idx", "column_name",
+                F.xxhash64("column_name", "key").alias("key"))
         rank1 = (cand_idx.filter(F.col("rank") == 1)
                  .select("key", "candidate"))
         join_cols = ["key"]
@@ -198,7 +208,13 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     # restricted (broadcast semi-join) to the ≤|worklist| winning sigs.
     need_sigs = (work.filter(text_missing & F.col("cand_text_sig").isNotNull())
                  .select(F.col("cand_text_sig").alias("sig")).distinct())
-    sig_map = (df.select(F.md5("text").alias("sig"), "text")
+    from .index import _sig_is_long
+    # the fetch key must mirror the context's sig representation: long
+    # xxhash64 sigs arrive as their string cast (the index candidate type)
+    sig_expr = (F.when(F.col("text").isNotNull(),
+                       F.xxhash64("text")).cast("string")
+                if _sig_is_long(ctx) else F.md5("text"))
+    sig_map = (df.select(sig_expr.alias("sig"), "text")
                .join(F.broadcast(need_sigs), "sig", "left_semi")
                .groupBy("sig").agg(F.min("text").alias("cand_text_val"))
                .withColumnRenamed("sig", "cand_text_sig"))
@@ -877,11 +893,20 @@ def impute_merge(spark: SparkSession, table: Table,
     # knob exists for the cluster profile.
     from pyspark import StorageLevel
     import os as _os
+    # merge-pass context carries LONG xxhash64 text sigs (ENGINE_SIG_HASH,
+    # default on — see _with_context: −24 B/row on the window exchange and
+    # fixed-width keys/candidates everywhere downstream); requires the
+    # hashed-key index, since the string-keyed struct explode mixes types
+    # on a long-sig context
+    use_hash_keys = _os.environ.get("ENGINE_HASH_KEYS", "1") == "1"
+    sig_hash = (use_hash_keys and cand_idx is None
+                and _os.environ.get("ENGINE_SIG_HASH", "1") == "1")
     if _os.environ.get("ENGINE_CTX_CACHE", "1") == "1":
-        ctx = _with_context(df, extra=extra_ctx_cols).persist(
+        ctx = _with_context(df, extra=extra_ctx_cols,
+                            sig_hash=sig_hash).persist(
             StorageLevel.MEMORY_AND_DISK)
     else:
-        ctx = _with_context(df, extra=extra_ctx_cols)
+        ctx = _with_context(df, extra=extra_ctx_cols, sig_hash=sig_hash)
     work = worklist(ctx).persist()
     if cand_idx is None:
         # merge-pass index: rank-1 only (k=1 — double partial agg, no window
@@ -901,8 +926,7 @@ def impute_merge(spark: SparkSession, table: Table,
         if os.environ.get("ENGINE_PROBE_PRUNE", "0") == "1":
             pk = melt_cells(work).select("column_name", "key").distinct()
         cand_idx = build_candidate_index(
-            df, k=1, ctx=ctx, probe_keys=pk,
-            hash_keys=os.environ.get("ENGINE_HASH_KEYS", "1") == "1")
+            df, k=1, ctx=ctx, probe_keys=pk, hash_keys=use_hash_keys)
     # cand_idx is deliberately NOT persisted: it has exactly one consumer
     # (the rank-1 probe join inside the persisted probed-worklist frame),
     # and the in-memory columnar cache build for a multi-million-row

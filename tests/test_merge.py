@@ -270,3 +270,47 @@ def test_sparse_prune_empty_frame_keeps_columns(spark):
     out = sparse_prune(df, min_non_null=0.2)
     assert out.columns == df.columns
     assert out.count() == 0
+
+
+def test_impute_sig_hash_mode_matches_md5_mode(spark, tmp_path, monkeypatch):
+    """The long-xxhash64 sig representation (ENGINE_SIG_HASH, r7 merge-pass
+    default) must impute the same cells as the md5-string representation:
+    identical role/tool values everywhere (their candidates are the raw
+    strings in both modes) and text non-null with the same provenance
+    counts. Text VALUES may differ only where the rank-1 winner is a tie
+    broken by candidate ordering (hex vs decimal sort), so they are
+    compared through evaluate_impute accuracy instead of byte equality."""
+    df = generate_transcripts(spark, num_convs=60)
+    injected, wl = inject_missing(df)
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("ENGINE_SIG_HASH", mode)
+        root = str(tmp_path / f"tbl_{mode}")
+        t = Table.create(root)
+        append(t, injected, num_files=4,
+               range_cols=["conv_id", "turn_idx"],
+               sort_cols=["conv_id", "turn_idx"])
+        impute_merge(spark, t, pass_id="p1")
+        outs[mode] = scan(spark, t)
+    for mode, out in outs.items():
+        assert out.filter("role is null or text is null").count() == 0, mode
+    a = sorted_rows(outs["1"].select("conv_id", "turn_idx", "role", "tool"))
+    b = sorted_rows(outs["0"].select("conv_id", "turn_idx", "role", "tool"))
+    assert a == b
+    acc1 = evaluate_impute(outs["1"], wl)
+    acc0 = evaluate_impute(outs["0"], wl)
+    assert abs(acc1["text"]["acc"] - acc0["text"]["acc"]) < 0.02
+
+
+def test_scored_pairs_sig_hash_is_hash_aggregate_no_concat(spark):
+    """The component-hashed explode (hashed_families on a sig_hash context)
+    must stay a partial+final HashAggregate and must NOT build composite
+    key strings (no concat_ws in the plan) — the r7 narrow-key invariant."""
+    from engine.index import _scored_pairs, _with_context
+    from tests.test_plans import plan_of
+    p = plan_of(_scored_pairs(
+        _with_context(generate_transcripts(spark, num_convs=5),
+                      sig_hash=True), hash_keys=True))
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
+    assert "concat_ws" not in p
