@@ -167,9 +167,16 @@ def plan_impute_updates(df: DataFrame, cand_idx: DataFrame,
     # the CELLS side to broadcast so the multi-million-row rank-1 index
     # never shuffles at all (guide §2.4: a broadcast join replaces the
     # shuffle of the large side). Above the gate (a 100 TB worklist is
-    # itself huge) the shuffle equi-join stands.
+    # itself huge) the shuffle equi-join stands. Re-measured after the
+    # r7 narrow-key index (fixed-width rows shrank the shuffle
+    # alternative): broadcast still wins the stage it affects by
+    # ~1-1.8 s per pass at 8 cores (src_materialize marks, 5 interleaved
+    # pairs). ENGINE_PROBE_BROADCAST=0 opts into the shuffle join for
+    # cluster profiles where the driver-serial broadcast build is the
+    # scarcer resource.
     if (work_rows is not None
-            and work_rows * len(keyed) <= BROADCAST_MAX_ROWS):
+            and work_rows * len(keyed) <= BROADCAST_MAX_ROWS
+            and os.environ.get("ENGINE_PROBE_BROADCAST", "1") == "1"):
         cells = F.broadcast(cells)
     hits = (cells.join(rank1, join_cols, "inner")
             .groupBy("conv_id", "turn_idx")
